@@ -1,0 +1,237 @@
+"""Typed configuration for the whole framework.
+
+The reference spreads configuration over per-script argparse flag sets
+(`/root/reference/evaluate_fp_quant_transform_rotate.py:27-52`) plus hard-coded
+constants (MODEL_DEPTH at :54, group_size=128 inside every quantizer partial at
+`models_fp_quant/quant_utils.py:808-824`).  Here everything is a frozen
+dataclass so a full experiment (model + quant recipe + rotation + GALT + mesh +
+generation params) is one serializable object.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+# Patch schedules of the two released model families
+# (`/root/reference/evaluate_fp_quant_transform_rotate.py:63`,
+#  `/root/reference/evaluate_fp_quant_transform_rotate_512x512.py`).
+PATCH_NUMS_256 = (1, 2, 3, 4, 5, 6, 8, 10, 13, 16)
+PATCH_NUMS_512 = (1, 2, 3, 4, 6, 9, 13, 18, 24, 32)
+
+
+@dataclass(frozen=True)
+class VQVAEConfig:
+    """Multi-scale VQVAE tokenizer (reference `models/vqvae.py:17-49`)."""
+
+    vocab_size: int = 4096
+    z_channels: int = 32            # Cvae
+    ch: int = 160
+    ch_mult: Tuple[int, ...] = (1, 1, 2, 2, 4)
+    num_res_blocks: int = 2
+    quant_resi: float = 0.5
+    share_quant_resi: int = 4       # partially-shared phi convs
+    patch_nums: Tuple[int, ...] = PATCH_NUMS_256
+    using_znorm: bool = False
+
+    @property
+    def downsample(self) -> int:
+        return 2 ** (len(self.ch_mult) - 1)
+
+
+@dataclass(frozen=True)
+class VARConfig:
+    """VAR transformer (reference `models/var.py:26-121`,
+    `models/__init__.py:9-39`: width = depth*64, heads = depth)."""
+
+    depth: int = 16
+    num_classes: int = 1000
+    shared_aln: bool = False
+    attn_l2_norm: bool = True
+    norm_eps: float = 1e-6
+    mlp_ratio: float = 4.0
+    cond_drop_rate: float = 0.1
+    patch_nums: Tuple[int, ...] = PATCH_NUMS_256
+    vae: VQVAEConfig = VQVAEConfig()
+    # Overridable; default derivation matches build_vae_var.
+    embed_dim: Optional[int] = None
+    num_heads: Optional[int] = None
+
+    @property
+    def width(self) -> int:
+        return self.embed_dim if self.embed_dim is not None else self.depth * 64
+
+    @property
+    def heads(self) -> int:
+        return self.num_heads if self.num_heads is not None else self.depth
+
+    @property
+    def head_dim(self) -> int:
+        return self.width // self.heads
+
+    @property
+    def L(self) -> int:
+        return sum(pn * pn for pn in self.patch_nums)
+
+    @property
+    def first_l(self) -> int:
+        return self.patch_nums[0] ** 2
+
+    @property
+    def num_scales(self) -> int:
+        return len(self.patch_nums)
+
+    @property
+    def begin_ends(self) -> Tuple[Tuple[int, int], ...]:
+        out, cur = [], 0
+        for pn in self.patch_nums:
+            out.append((cur, cur + pn * pn))
+            cur += pn * pn
+        return tuple(out)
+
+
+def var_d16() -> VARConfig:
+    return VARConfig(depth=16)
+
+
+def var_d30() -> VARConfig:
+    return VARConfig(depth=30)
+
+
+def var_d36_512() -> VARConfig:
+    return VARConfig(
+        depth=36, shared_aln=True, patch_nums=PATCH_NUMS_512,
+        vae=VQVAEConfig(patch_nums=PATCH_NUMS_512),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantization recipe
+# ---------------------------------------------------------------------------
+
+#: act/weight format names, superset of the reference flag values
+#: (`evaluate_fp_quant_transform_rotate.py:43-45` and the dispatch tables at
+#: `models_fp_quant/quant_utils.py:777-827,1027-1055`).
+FORMATS = (
+    "fp_e1", "fp_e2", "fp_e3",                  # fp4 e1m2 / e2m1 / e3m0
+    "fp6_e2m3", "fp6_e3m2",                     # fp6
+    "fp_e1m2_neg_e2m1_pos",                     # fc2 asymmetric dual-grid fp4
+    "fp_neg_reverse_quant",                     # fc2 shift-negative trick
+    "fp4_afpq",                                 # AFPQ baseline dual-scale
+    "fp6_int_neg_e2m3_pos",                     # fc2 asymmetric dual-grid fp6
+    "fp8_e4m3",                                 # extension: native fp8 config
+    "int_sym", "int_asym", "log2",
+)
+
+GRANULARITIES = ("per_token", "per_tensor", "per_group", "per_channel")
+
+
+@dataclass(frozen=True)
+class QuantConfig:
+    """One quantization recipe = the union of the reference's CLI flags.
+
+    ``enabled=False`` gives the FP16/bf16 baseline model.
+    """
+
+    enabled: bool = False
+    w_bit: int = 4
+    a_bit: int = 4
+    kv_bit: int = 0                 # 0 = KV cache not quantized
+    group_size: int = 128
+
+    weight_quant: str = "per_group"     # granularity for weights
+    act_quant: str = "per_group"        # granularity for activations
+    act_sym: bool = False               # for int linear act quant
+    weight_format: str = "fp_e2"        # weight_fp_type
+    act_format: str = "fp_e2"           # act_fp_type
+    fc2_format: str = "fp_e1m2_neg_e2m1_pos"   # fc2_fp_type
+    fc2_log2: bool = False              # legacy fc2 log2 baseline
+    int_quant: bool = False             # pure INT path (models_quant fork)
+
+    # KV cache: reference quantizes per token with fp6_e2m3 (kv_bit=6) or
+    # per-group fp_e2 (kv_bit=4)
+    # (`models_fp_quant_transform_rotate/basic_var.py:192-200`).
+    kv_format: str = "auto"
+    #: "reference" = re-fake-quantize the whole cache every scale step, exactly
+    #: like `basic_var.py:138-147`; "store" = quantize once on append (the
+    #: TPU-native design: cache holds quantized values from the start).
+    kv_mode: str = "store"
+
+    rotate: bool = False
+    block_rotate: bool = True
+    rotation_block: int = 128
+    rotation_seed: int = 42
+    transform: bool = False             # GALT smoothing
+
+    #: "fake"   — quantize→dequantize in bf16/f32, matmuls dense (parity path)
+    #: "packed" — int codes + scales, Pallas fused dequant-matmul (fast path)
+    backend: str = "fake"
+
+    # Per-block mixed-format assignment (the paper's MixedFormat ablation,
+    # `quant_utils.py:1256-1432`): optional tuple of per-block act formats.
+    mixed_act_formats: Optional[Tuple[str, ...]] = None
+
+    def resolved_kv_format(self) -> str:
+        if self.kv_format != "auto":
+            return self.kv_format
+        if self.kv_bit == 6:
+            return "fp6_e2m3"
+        if self.kv_bit == 4:
+            return "fp_e2"
+        return "int_sym"
+
+    def replace(self, **kw) -> "QuantConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def fpqvar_w4a4() -> QuantConfig:
+    """The paper's full FP4 recipe (run.sh:4-10 flag set)."""
+    return QuantConfig(
+        enabled=True, w_bit=4, a_bit=4, kv_bit=0,
+        weight_quant="per_group", act_quant="per_group",
+        weight_format="fp_e2", act_format="fp_e2",
+        fc2_format="fp_e1m2_neg_e2m1_pos",
+        rotate=True, block_rotate=True, transform=True,
+    )
+
+
+def fpqvar_w6a6() -> QuantConfig:
+    return QuantConfig(
+        enabled=True, w_bit=6, a_bit=6, kv_bit=0,
+        weight_quant="per_group", act_quant="per_group",
+        weight_format="fp6_e2m3", act_format="fp6_e2m3",
+        fc2_format="fp6_int_neg_e2m3_pos",
+        rotate=True, block_rotate=True, transform=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Generation / mesh
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class GenerateConfig:
+    """Sampling parameters (`evaluate_fp_quant_transform_rotate.py:196-199`)."""
+
+    cfg: float = 1.5
+    top_k: int = 900
+    top_p: float = 0.96
+    more_smooth: bool = False
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh for distributed generation/training.
+
+    The reference is single-process single-GPU (§2.9 of SURVEY.md); this layer
+    is new.  ``dp`` shards the (CFG-doubled) batch, ``tp`` shards attention
+    heads / FFN hidden / vocab.
+    """
+
+    dp: int = 1
+    tp: int = 1
+
+    @property
+    def num_devices(self) -> int:
+        return self.dp * self.tp

@@ -1,0 +1,90 @@
+"""Generation engine: jit-compiled multi-scale decode.
+
+Replaces the reference's eager per-class python loop
+(`evaluate_fp_quant_transform_rotate.py:187-199` calling
+`VAR.autoregressive_infer_cfg`).  Each of the 10 scale steps is a
+static-shape jitted program (KV cache preallocated, step geometry baked in),
+compiled once and reused for all 1000 classes; the VQVAE decode is a separate
+jitted program.  Under a device mesh the same engine runs dp/tp-sharded (see
+fpqvar_tpu.parallel).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from fpqvar_tpu.config import GenerateConfig, QuantConfig, VARConfig
+from fpqvar_tpu.models import var as V
+from fpqvar_tpu.models import vqvae as vq
+from fpqvar_tpu.quantize.runtime import QuantRuntime, build_runtime
+
+
+class VARGenerator:
+    """Holds jitted step functions for one (model, quant, sampling) config."""
+
+    def __init__(
+        self,
+        cfg: VARConfig,
+        qcfg: QuantConfig,
+        gen: GenerateConfig = GenerateConfig(),
+        qrt: Optional[QuantRuntime] = None,
+        cache_dtype=jnp.bfloat16,
+        compute_dtype=jnp.bfloat16,
+        mesh=None,
+        shardings=None,
+    ):
+        self.cfg = cfg
+        self.qcfg = qcfg
+        self.gen = gen
+        self.qrt = qrt if qrt is not None else build_runtime(qcfg, cfg.depth)
+        self.cache_dtype = cache_dtype
+        self.compute_dtype = compute_dtype
+        self.statics = V.GenStatics.all_steps(cfg)
+        self.mesh = mesh
+        self.shardings = shardings
+
+        def _step(st, params, vae_qparams, x, cond_BD, mod, lvl_pos,
+                  ck, cv, f_hat, key):
+            nxt, (ck, cv), f_hat, key = V.scale_step(
+                params, vae_qparams, cfg, self.qrt, gen, st,
+                x, cond_BD, mod, lvl_pos, (ck, cv), f_hat, key)
+            return nxt, ck, cv, f_hat, key
+
+        self._steps = [
+            jax.jit(partial(_step, st), donate_argnums=(7, 8, 9))
+            for st in self.statics
+        ]
+        self._prepare = jax.jit(partial(V.prepare_generation, cfg=cfg))
+        self._decode = jax.jit(
+            lambda vae_params, f_hat: (
+                vq.decode(vae_params, cfg.vae, f_hat) + 1.0) * 0.5
+        )
+
+    def generate(
+        self, params, vae_params, label_B, key, return_fhat: bool = False
+    ):
+        """Class-conditional generation -> images [B, 3, H, W] in [0, 1]
+        (`var.py:134-217`)."""
+        cfg = self.cfg
+        b = label_B.shape[0]
+        cond_BD, mod, lvl_pos, x = self._prepare(
+            params=params, label_B=label_B)
+        x = x.astype(self.compute_dtype)
+        mod = mod.astype(self.compute_dtype)
+        lvl_pos = lvl_pos.astype(self.compute_dtype)
+        ck, cv = V.init_kv_cache(cfg, 2 * b, self.cache_dtype)
+        hw = cfg.patch_nums[-1]
+        f_hat = jnp.zeros((b, cfg.vae.z_channels, hw, hw), jnp.float32)
+        vae_q = vae_params["quantize"]
+
+        for st, step in zip(self.statics, self._steps):
+            x, ck, cv, f_hat, key = step(
+                params, vae_q, x, cond_BD, mod, lvl_pos, ck, cv, f_hat, key)
+            if x is not None:
+                x = x.astype(self.compute_dtype)
+        if return_fhat:
+            return f_hat
+        return self._decode(vae_params, f_hat)

@@ -1,0 +1,488 @@
+"""VAR next-scale-prediction transformer, TPU-native.
+
+One config-driven functional model replacing the reference's five forked
+packages (`models/`, `models_quant/`, `models_fp_quant/`,
+`models_fp_quant_rotate/`, `models_fp_quant_transform_rotate/` — SURVEY.md
+§2.4).  Quantization, rotation and GALT smoothing are runtime config
+(:class:`fpqvar_tpu.quantize.runtime.QuantRuntime`), not code forks.
+
+Key structural citations into the reference:
+
+- model hyperparameters/width rules: `models/__init__.py:9-39`
+- VAR.__init__ (embeddings, pos, lvl, AdaLN blocks, head):
+  `models/var.py:26-121`
+- AdaLNSelfAttn forward (modulation + smooth + rotate):
+  `models_fp_quant_transform_rotate/basic_var.py:253-269`
+- SelfAttention (fused qkv + separate biases, L2-norm attention, KV cache):
+  `models_fp_quant_transform_rotate/basic_var.py:128-219`
+- FFN (fc1 -> tanh-GELU -> fc2): `basic_var.py:101-122`
+- autoregressive_infer_cfg (scale loop, CFG, sampling, pyramid):
+  `models_fp_quant_transform_rotate/var.py:134-217`
+
+TPU-first design decisions (vs the reference):
+
+- Block parameters are stacked along a leading ``depth`` axis and the layer
+  loop is a single `jax.lax.scan` — one compiled block body instead of
+  ``depth`` unrolled ones.
+- The KV cache is a preallocated [depth, 2B, H, L, hd] tensor; each scale
+  step writes its pn^2 new tokens at a *static* offset and attends over a
+  statically-sliced prefix, so all 10 scale steps compile to static-shape
+  programs (no concat-growing tensors).
+- AdaLN modulations depend only on the class condition, so they are computed
+  once per generation instead of per block per step
+  (`basic_var.py:258` recomputes them depth x 10 times).
+- The online block-Hadamard rotation is a single (…,128)x(128,128) MXU
+  contraction (see fpqvar_tpu.ops.hadamard).
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fpqvar_tpu.config import GenerateConfig, VARConfig
+from fpqvar_tpu.models import vqvae as vq
+from fpqvar_tpu.models.sampling import sample_with_top_k_top_p
+from fpqvar_tpu.ops.hadamard import apply_block_hadamard
+from fpqvar_tpu.ops.packing import PackedTensor
+
+Array = jnp.ndarray
+
+
+# ---------------------------------------------------------------------------
+# Primitive ops
+# ---------------------------------------------------------------------------
+
+def linear(x: Array, w, b=None) -> Array:
+    """torch-layout linear: w is (out, in)."""
+    if isinstance(w, PackedTensor):
+        from fpqvar_tpu.ops.pallas.quant_matmul import packed_linear
+
+        y = packed_linear(x, w)
+    else:
+        y = x @ w.astype(x.dtype).T
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def layernorm_no_affine(x: Array, eps: float) -> Array:
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    return ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+def gelu_tanh(x: Array) -> Array:
+    return jax.nn.gelu(x, approximate=True)
+
+
+def _l2norm(x: Array) -> Array:
+    # F.normalize(dim=-1) semantics: x / max(||x||, eps)
+    n = jnp.linalg.norm(x.astype(jnp.float32), axis=-1, keepdims=True)
+    return (x.astype(jnp.float32) / jnp.maximum(n, 1e-12)).astype(x.dtype)
+
+
+MAX_SCALE_MUL = math.log(100.0)
+
+
+# ---------------------------------------------------------------------------
+# Block forward
+# ---------------------------------------------------------------------------
+
+class KVUpdate(NamedTuple):
+    k: Array
+    v: Array
+
+
+def _attention(
+    q: Array, k: Array, v: Array, attn_bias: Optional[Array]
+) -> Array:
+    """q [B,H,l,c], k/v [B,H,L,c] -> [B,l,H*c]; softmax in f32, scale=1
+    (attn_l2_norm) — `basic_var.py:137-142,211-217`."""
+    b, h, l, c = q.shape
+    scores = jnp.einsum(
+        "bhlc,bhmc->bhlm", q, k, preferred_element_type=jnp.float32
+    )
+    if attn_bias is not None:
+        scores = scores + attn_bias
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhlm,bhmc->bhlc", probs, v)
+    return out.transpose(0, 2, 1, 3).reshape(b, l, h * c)
+
+
+def block_forward(
+    x: Array,
+    bp: Dict[str, Any],
+    mod: Array,                    # [6, B, 1, C] (gamma1,gamma2,s1,s2,b1,b2)
+    qrt,                           # QuantRuntime or None
+    cfg: VARConfig,
+    cache_k: Optional[Array] = None,   # [B, H, L, c] or None (training)
+    cache_v: Optional[Array] = None,
+    cur: int = 0,                  # static: tokens already cached
+    attn_bias: Optional[Array] = None,
+) -> Tuple[Array, Optional[KVUpdate]]:
+    """One AdaLNSelfAttn block (`basic_var.py:253-269`).
+
+    Returns the new x and, when caching, the updated (k, v) cache tensors.
+    """
+    heads, hd = cfg.heads, cfg.head_dim
+    b, l, c = x.shape
+    gamma1, gamma2, scale1, scale2, shift1, shift2 = mod
+
+    aq = qrt.act_q if qrt is not None else {}
+    smooth = qrt is not None and qrt.transform
+    rot = qrt.rotation_block if qrt is not None else None
+
+    # ---- attention branch
+    x1 = layernorm_no_affine(x, cfg.norm_eps) * (1.0 + scale1) + shift1
+    if smooth:
+        x1 = x1 * bp["mat_qkv_s"].astype(x1.dtype)
+    if rot is not None:
+        x1 = apply_block_hadamard(x1, rot)
+    if aq.get("mat_qkv") is not None:
+        x1 = aq["mat_qkv"](x1)
+    qkv = linear(x1, bp["mat_qkv_w"])
+    bias = jnp.concatenate(
+        [bp["q_bias"], jnp.zeros_like(bp["q_bias"]), bp["v_bias"]]
+    )
+    qkv = qkv + bias.astype(qkv.dtype)
+    qkv = qkv.reshape(b, l, 3, heads, hd)
+    q, k, v = [t.transpose(0, 2, 1, 3) for t in jnp.moveaxis(qkv, 2, 0)]
+
+    if cfg.attn_l2_norm:
+        scale_mul = jnp.exp(
+            jnp.minimum(bp["scale_mul"].astype(jnp.float32), MAX_SCALE_MUL)
+        )  # [1,H,1,1]
+        q = _l2norm(q) * scale_mul.astype(q.dtype)
+        k = _l2norm(k)
+
+    kv_update = None
+    if cache_k is not None:
+        kv_q = qrt.kv_q if qrt is not None else None
+        if kv_q is not None and qrt.kv_mode == "reference" and cur > 0:
+            # re-fake-quantize the whole existing cache before appending the
+            # raw new tokens (`basic_var.py:138-147,186-209`)
+            cache_k = cache_k.at[:, :, :cur].set(kv_q(cache_k[:, :, :cur]))
+            cache_v = cache_v.at[:, :, :cur].set(kv_q(cache_v[:, :, :cur]))
+        k_store, v_store = k, v
+        if kv_q is not None and qrt.kv_mode == "store":
+            k_store, v_store = kv_q(k), kv_q(v)
+        cache_k = jax.lax.dynamic_update_slice(
+            cache_k, k_store.astype(cache_k.dtype), (0, 0, cur, 0))
+        cache_v = jax.lax.dynamic_update_slice(
+            cache_v, v_store.astype(cache_v.dtype), (0, 0, cur, 0))
+        kv_update = KVUpdate(cache_k, cache_v)
+        k_all = cache_k[:, :, : cur + l].astype(q.dtype)
+        v_all = cache_v[:, :, : cur + l].astype(q.dtype)
+    else:
+        k_all, v_all = k, v
+
+    oup = _attention(q, k_all, v_all, attn_bias)
+    if aq.get("proj") is not None:
+        oup = aq["proj"](oup)
+    x = x + (linear(oup, bp["proj_w"], bp["proj_b"]) * gamma1).astype(x.dtype)
+
+    # ---- FFN branch
+    x2 = layernorm_no_affine(x, cfg.norm_eps) * (1.0 + scale2) + shift2
+    if smooth:
+        x2 = x2 * bp["fc1_s"].astype(x2.dtype)
+    if rot is not None:
+        x2 = apply_block_hadamard(x2, rot)
+    if aq.get("fc1") is not None:
+        x2 = aq["fc1"](x2)
+    h = gelu_tanh(linear(x2, bp["fc1_w"], bp["fc1_b"]))
+    if aq.get("fc2") is not None:
+        h = aq["fc2"](h)
+    out = linear(h, bp["fc2_w"], bp["fc2_b"])
+    x = x + (out * gamma2).astype(x.dtype)
+    return x, kv_update
+
+
+# ---------------------------------------------------------------------------
+# Modulation precompute
+# ---------------------------------------------------------------------------
+
+def compute_modulations(params, cfg: VARConfig, cond_BD: Array) -> Array:
+    """Per-block AdaLN modulation [depth, 6, B, 1, C].
+
+    Non-shared: per-block SiLU->Linear(D,6C) (`basic_var.py:247-248,258`).
+    Shared (512 models): shared SiLU->SharedAdaLin plus per-block ada_gss
+    (`var.py:85`, `basic_var.py:244-245,255-256`).
+    """
+    d = cfg.depth
+    b = cond_BD.shape[0]
+    c = cfg.width
+    if cfg.shared_aln:
+        gss = linear(
+            jax.nn.silu(cond_BD), params["shared_ada_lin"]["w"],
+            params["shared_ada_lin"]["b"],
+        ).reshape(b, 6, c)                       # [B, 6, C]
+        ada = params["blocks"]["ada_gss"]        # [depth, 6, C]
+        mod = ada[:, None, :, :] + gss[None]     # [depth, B, 6, C]
+        mod = mod.transpose(0, 2, 1, 3)[:, :, :, None, :]
+    else:
+        w = params["blocks"]["ada_lin"]["w"]     # [depth, 6C, D]
+        bb = params["blocks"]["ada_lin"]["b"]    # [depth, 6C]
+        act = jax.nn.silu(cond_BD)
+        mod = jnp.einsum("bd,kod->kbo", act, w) + bb[:, None, :]
+        mod = mod.reshape(d, b, 6, c).transpose(0, 2, 1, 3)[:, :, :, None, :]
+    return mod
+
+
+def head_logits(params, cfg: VARConfig, x: Array, cond_BD: Array) -> Array:
+    """AdaLNBeforeHead + head (`basic_var.py:275-284`, `var.py:125-131`)."""
+    hn = params["head_nm"]
+    ss = linear(jax.nn.silu(cond_BD), hn["w"], hn["b"])
+    scale, shift = jnp.split(ss.reshape(ss.shape[0], 1, 2, cfg.width), 2, 2)
+    h = layernorm_no_affine(x.astype(jnp.float32), cfg.norm_eps)
+    h = h * (1.0 + scale[:, :, 0]) + shift[:, :, 0]
+    return linear(h, params["head"]["w"], params["head"]["b"])
+
+
+# ---------------------------------------------------------------------------
+# Transformer over blocks (scan / unrolled)
+# ---------------------------------------------------------------------------
+
+def run_blocks(
+    params,
+    cfg: VARConfig,
+    qrt,
+    x: Array,
+    mod: Array,                       # [depth, 6, B, 1, C]
+    cache: Optional[Tuple[Array, Array]] = None,   # ([d,B,H,L,c], ...)
+    cur: int = 0,
+    attn_bias: Optional[Array] = None,
+) -> Tuple[Array, Optional[Tuple[Array, Array]]]:
+    blocks = params["blocks"]
+    per_block_aq = qrt is not None and qrt.per_block_act_q is not None
+
+    if per_block_aq:
+        # Mixed-format configs (`quant_utils.py:1256-1432`) need per-block
+        # quantizers -> unrolled python loop (still jit-compatible).
+        d = cfg.depth
+        new_k, new_v = [], []
+        for i in range(d):
+            bp = jax.tree_util.tree_map(lambda a: a[i], blocks)
+            qrt_i = qrt.for_block(i)
+            ck = cache[0][i] if cache is not None else None
+            cv = cache[1][i] if cache is not None else None
+            x, upd = block_forward(
+                x, bp, mod[i], qrt_i, cfg, ck, cv, cur, attn_bias)
+            if upd is not None:
+                new_k.append(upd.k)
+                new_v.append(upd.v)
+        if cache is not None:
+            return x, (jnp.stack(new_k), jnp.stack(new_v))
+        return x, None
+
+    def body(carry, xs):
+        xc = carry
+        if cache is not None:
+            bp, m, ck, cv = xs
+            xc, upd = block_forward(xc, bp, m, qrt, cfg, ck, cv, cur,
+                                    attn_bias)
+            return xc, (upd.k, upd.v)
+        bp, m = xs
+        xc, _ = block_forward(xc, bp, m, qrt, cfg, None, None, cur, attn_bias)
+        return xc, None
+
+    if cache is not None:
+        x, (ks, vs) = jax.lax.scan(body, x, (blocks, mod, cache[0], cache[1]))
+        return x, (ks, vs)
+    x, _ = jax.lax.scan(body, x, (blocks, mod))
+    return x, None
+
+
+# ---------------------------------------------------------------------------
+# Training / teacher-forcing forward
+# ---------------------------------------------------------------------------
+
+def lvl_1L(cfg: VARConfig) -> np.ndarray:
+    return np.concatenate(
+        [np.full(pn * pn, i, np.int32) for i, pn in enumerate(cfg.patch_nums)]
+    )
+
+
+def attn_bias_for_masking(cfg: VARConfig) -> np.ndarray:
+    """Block-triangular by scale (`models/var.py:112-117`)."""
+    d = lvl_1L(cfg)
+    bias = np.where(d[:, None] >= d[None, :], 0.0, -np.inf)
+    return bias[None, None].astype(np.float32)
+
+
+def var_forward(
+    params, cfg: VARConfig, qrt, label_B: Array, x_BLCv_wo_first_l: Array,
+) -> Array:
+    """Teacher-forcing forward returning logits [B, L, V]
+    (`models/var.py:220-262`, inference subset: no cond-drop randomness —
+    apply label dropout outside if training)."""
+    b = x_BLCv_wo_first_l.shape[0]
+    cond_BD = jnp.take(params["class_emb"], label_B, axis=0)
+    sos = cond_BD[:, None, :] + params["pos_start"]
+    sos = jnp.broadcast_to(sos, (b, cfg.first_l, cfg.width))
+    we = params["word_embed"]
+    tok = linear(x_BLCv_wo_first_l.astype(jnp.float32), we["w"], we["b"])
+    x = jnp.concatenate([sos, tok.astype(sos.dtype)], axis=1)
+    lvl = jnp.asarray(lvl_1L(cfg))
+    x = x + jnp.take(params["lvl_embed"], lvl, axis=0)[None] + params["pos_1LC"]
+
+    mod = compute_modulations(params, cfg, cond_BD)
+    bias = jnp.asarray(attn_bias_for_masking(cfg))
+    x, _ = run_blocks(params, cfg, qrt, x, mod, attn_bias=bias)
+    return head_logits(params, cfg, x.astype(jnp.float32), cond_BD)
+
+
+# ---------------------------------------------------------------------------
+# Autoregressive generation
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class GenStatics:
+    """Per-scale static geometry."""
+    si: int
+    pn: int
+    cur: int          # tokens cached before this step
+    l: int            # pn*pn new tokens
+
+    @staticmethod
+    def all_steps(cfg: VARConfig):
+        out, cur = [], 0
+        for si, pn in enumerate(cfg.patch_nums):
+            out.append(GenStatics(si, pn, cur, pn * pn))
+            cur += pn * pn
+        return out
+
+
+def init_kv_cache(cfg: VARConfig, batch: int, dtype=jnp.bfloat16):
+    shape = (cfg.depth, batch, cfg.heads, cfg.L, cfg.head_dim)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def scale_step(
+    params,
+    vae_qparams,
+    cfg: VARConfig,
+    qrt,
+    gen: GenerateConfig,
+    st: GenStatics,
+    x: Array,                 # [2B, l, C] token map for this scale
+    cond_BD: Array,           # [2B, C]
+    mod: Array,               # [depth, 6, 2B, 1, C]
+    lvl_pos: Array,           # [1, L, C]
+    cache: Tuple[Array, Array],
+    f_hat: Array,             # [B, Cvae, pn_last, pn_last]
+    key,
+):
+    """One scale of `autoregressive_infer_cfg` (`var.py:175-214`):
+    transformer -> logits -> CFG -> sample -> residual pyramid -> next map."""
+    b2 = x.shape[0]
+    b = b2 // 2
+    x, cache = run_blocks(params, cfg, qrt, x, mod, cache, st.cur)
+    logits = head_logits(params, cfg, x.astype(jnp.float32), cond_BD)
+
+    t = gen.cfg * (st.si / (cfg.num_scales - 1))
+    logits = (1.0 + t) * logits[:b] - t * logits[b:]
+
+    key, k1 = jax.random.split(key)
+    idx_Bl = sample_with_top_k_top_p(k1, logits, gen.top_k, gen.top_p)
+    h_BChw = vq.embed_idx(vae_qparams, idx_Bl)          # [B, l, Cvae]
+    h_BChw = h_BChw.transpose(0, 2, 1).reshape(
+        b, cfg.vae.z_channels, st.pn, st.pn).astype(jnp.float32)
+
+    f_hat, next_raw = vq.get_next_autoregressive_input(
+        vae_qparams, cfg.vae, st.si, f_hat, h_BChw)
+
+    if st.si == cfg.num_scales - 1:
+        return None, cache, f_hat, key
+
+    pn_next = cfg.patch_nums[st.si + 1]
+    nxt = next_raw.reshape(b, cfg.vae.z_channels, -1).transpose(0, 2, 1)
+    we = params["word_embed"]
+    nxt = linear(nxt, we["w"], we["b"]).astype(x.dtype)
+    cur_end = st.cur + st.l
+    nxt = nxt + lvl_pos[:, cur_end: cur_end + pn_next * pn_next]
+    nxt = jnp.concatenate([nxt, nxt], axis=0)   # CFG batch doubling
+    return nxt, cache, f_hat, key
+
+
+def prepare_generation(params, cfg: VARConfig, label_B: Array):
+    """Condition embeddings + first token map (`var.py:160-172`)."""
+    b = label_B.shape[0]
+    uncond = jnp.full_like(label_B, cfg.num_classes)
+    cond_BD = jnp.take(
+        params["class_emb"], jnp.concatenate([label_B, uncond]), axis=0)
+    lvl = jnp.asarray(lvl_1L(cfg))
+    lvl_pos = jnp.take(params["lvl_embed"], lvl, axis=0)[None] + params["pos_1LC"]
+    sos = cond_BD[:, None, :] + params["pos_start"] + lvl_pos[:, : cfg.first_l]
+    first = jnp.broadcast_to(sos, (2 * b, cfg.first_l, cfg.width))
+    mod = compute_modulations(params, cfg, cond_BD)
+    return cond_BD, mod, lvl_pos, first
+
+
+# ---------------------------------------------------------------------------
+# Initialization (random weights; real weights via checkpoint converter)
+# ---------------------------------------------------------------------------
+
+def init_var_params(key, cfg: VARConfig, dtype=jnp.float32,
+                    adaln_gamma_std: float = 0.02 * 1e-2):
+    """Random init mirroring `models/var.py:264-314` init_weights.
+
+    ``adaln_gamma_std`` scales the AdaLN gamma rows (reference
+    init_adaln_gamma=1e-5 makes fresh blocks near-identity); tests raise it
+    so forward outputs are sensitive to block internals.
+    """
+    c, d, heads = cfg.width, cfg.depth, cfg.heads
+    cvae, v = cfg.vae.z_channels, cfg.vae.vocab_size
+    init_std = math.sqrt(1.0 / c / 3.0)
+    ks = iter(jax.random.split(key, 64))
+
+    def tn(k, shape, std=init_std):
+        return (jax.random.truncated_normal(k, -2, 2, shape) * std).astype(dtype)
+
+    def lin_init(k, o, i, std=0.02):
+        kw, kb = jax.random.split(k)
+        return {"w": tn(kw, (o, i), std), "b": jnp.zeros((o,), dtype)}
+
+    blocks = {
+        "mat_qkv_w": tn(next(ks), (d, 3 * c, c), 0.02),
+        "q_bias": jnp.zeros((d, c), dtype),
+        "v_bias": jnp.zeros((d, c), dtype),
+        "scale_mul": jnp.full((d, 1, heads, 1, 1), math.log(4.0), dtype),
+        "proj_w": tn(next(ks), (d, c, c), 0.02 / math.sqrt(2 * d)),
+        "proj_b": jnp.zeros((d, c), dtype),
+        "fc1_w": tn(next(ks), (d, 4 * c, c), 0.02),
+        "fc1_b": jnp.zeros((d, 4 * c), dtype),
+        "fc2_w": tn(next(ks), (d, c, 4 * c), 0.02 / math.sqrt(2 * d)),
+        "fc2_b": jnp.zeros((d, c), dtype),
+        "mat_qkv_s": jnp.ones((d, c), dtype),
+        "fc1_s": jnp.ones((d, c), dtype),
+    }
+    if cfg.shared_aln:
+        blocks["ada_gss"] = (
+            jax.random.normal(next(ks), (d, 6, c)) / math.sqrt(c)
+        ).astype(dtype)
+    else:
+        blocks["ada_lin"] = {
+            "w": tn(next(ks), (d, 6 * c, c), adaln_gamma_std),
+            "b": jnp.zeros((d, 6 * c), dtype),
+        }
+
+    params = {
+        "word_embed": lin_init(next(ks), c, cvae),
+        "class_emb": tn(next(ks), (cfg.num_classes + 1, c)),
+        "pos_start": tn(next(ks), (1, cfg.first_l, c)),
+        "pos_1LC": tn(next(ks), (1, cfg.L, c)),
+        "lvl_embed": tn(next(ks), (cfg.num_scales, c)),
+        "blocks": blocks,
+        "head_nm": lin_init(next(ks), 2 * c, c),
+        "head": lin_init(next(ks), v, c),
+    }
+    if cfg.shared_aln:
+        params["shared_ada_lin"] = lin_init(next(ks), 6 * c, c)
+    return params

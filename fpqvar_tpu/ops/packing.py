@@ -1,0 +1,174 @@
+"""Packed low-bit code representation (the *real* quantization path).
+
+The reference only ever simulates low-bit inference (fake-quant: dequantized
+fp16 tensors, dense fp16 GEMMs — `quant_utils.py:844-850`).  The TPU build
+goes further: weights are stored as small integer *codes* plus per-group
+scales, and the Pallas kernels (:mod:`fpqvar_tpu.ops.pallas`) decode them
+in-register on the way into the MXU.
+
+Layout
+------
+- fp4 formats (15-entry grids): 4-bit codes, two per int8 byte, halving
+  weight HBM traffic vs int8 codes.  Within each 128-wide quantization group
+  the byte at offset j (0<=j<64) holds column j in its low nibble and column
+  64+j in its high nibble ("group-split" layout): the in-kernel unpack is
+  then two shifts plus a lane-dimension concat — no interleave shuffles.
+- fp6/int6 formats (<=64-entry grids): one 6-bit code per int8 byte (TPU has
+  no native 6-bit lane; byte-aligned codes keep loads vectorizable while
+  still 2.7x smaller than bf16).
+- scales: float32, shape [rows, groups] for per-group or [rows, 1] per-token.
+
+A code is the index into the format's sorted value grid; dequant is
+``grid[code] * scale``.  Codes are produced with the same midpoint-searchsorted
+snap as the fake path so packed and fake paths agree bit-exactly.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from fpqvar_tpu.ops import grids as G
+
+Array = jnp.ndarray
+
+
+@dataclass(frozen=True)
+class PackedTensor:
+    """Quantized tensor: codes + scales + metadata. A pytree-compatible value
+    (registered below) so it can live inside model params."""
+
+    codes: Array            # int8; packed nibbles for 4-bit formats
+    scales: Array           # f32 [..., n_groups] broadcastable over groups
+    fmt: str
+    shape: Tuple[int, ...]  # logical (unpacked) shape
+    group_size: int
+
+    @property
+    def nibble_packed(self) -> bool:
+        return len(G.GRIDS[self.fmt]) <= 16
+
+
+def _flatten_fields(p: PackedTensor):
+    return (p.codes, p.scales), (p.fmt, p.shape, p.group_size)
+
+
+def _unflatten_fields(aux, children):
+    fmt, shape, group_size = aux
+    codes, scales = children
+    return PackedTensor(codes, scales, fmt, shape, group_size)
+
+
+import jax  # noqa: E402
+
+jax.tree_util.register_pytree_node(
+    PackedTensor, _flatten_fields, _unflatten_fields
+)
+
+
+def encode_to_grid(x: Array, grid: np.ndarray) -> Array:
+    """Nearest-grid code indices (same tie rule as quantizers.snap_to_grid)."""
+    g = jnp.asarray(grid, dtype=x.dtype)
+    mids = (g[1:] + g[:-1]) * 0.5
+    return jnp.searchsorted(mids, x, side="right").astype(jnp.int32)
+
+
+def pack(x: Array, fmt: str, group_size: int = 128) -> PackedTensor:
+    """Quantize ``x`` (…, K) to packed codes + per-group scales."""
+    grid = G.GRIDS[fmt]
+    gmax = float(np.max(np.abs(grid)))
+    shape = tuple(x.shape)
+    if shape[-1] % group_size:
+        raise ValueError("last dim must be divisible by group_size")
+    xg = x.reshape(shape[:-1] + (shape[-1] // group_size, group_size))
+    absmax = jnp.max(jnp.abs(xg), axis=-1, keepdims=True)
+    scales = jnp.where(absmax > 0, absmax / gmax, 1.0).astype(jnp.float32)
+    codes = encode_to_grid(xg / scales, grid)       # [..., G, group_size]
+    if len(grid) <= 16:
+        half = group_size // 2
+        lo = codes[..., :half]
+        hi = codes[..., half:]
+        packed = (lo | (hi << 4)).astype(jnp.int8)  # [..., G, half]
+        packed = packed.reshape(shape[:-1] + (shape[-1] // 2,))
+    else:
+        packed = codes.astype(jnp.int8).reshape(shape)
+    return PackedTensor(packed, scales[..., 0], fmt, shape, group_size)
+
+
+def unpack_codes(p: PackedTensor) -> Array:
+    """int32 code indices at logical shape (inverse of the group-split
+    nibble layout, see module docstring)."""
+    if p.nibble_packed:
+        g = p.group_size
+        half = g // 2
+        n_groups = p.shape[-1] // g
+        b = p.codes.astype(jnp.int32) & 0xFF
+        bg = b.reshape(p.shape[:-1] + (n_groups, half))
+        lo = bg & 0xF
+        hi = (bg >> 4) & 0xF
+        codes = jnp.concatenate([lo, hi], axis=-1).reshape(p.shape)
+    else:
+        codes = p.codes.astype(jnp.int32)
+    return codes
+
+
+def dequantize(p: PackedTensor, dtype=jnp.float32) -> Array:
+    """Reference dequantization: grid[code] * scale (jnp path; the Pallas
+    kernels do the same decode in-register)."""
+    grid = jnp.asarray(G.GRIDS[p.fmt], dtype=jnp.float32)
+    codes = unpack_codes(p)
+    vals = jnp.take(grid, codes)
+    g = p.group_size
+    vg = vals.reshape(p.shape[:-1] + (p.shape[-1] // g, g))
+    out = vg * p.scales[..., None]
+    return out.reshape(p.shape).astype(dtype)
+
+
+def pack_stacked(w: Array, fmt: str, group_size: int = 128) -> PackedTensor:
+    """Pack a depth-stacked weight [d, out, in] such that slicing the leading
+    axis (e.g. inside `lax.scan` over blocks) yields a valid per-block
+    PackedTensor: the static ``shape`` aux records the *per-block* logical
+    shape (out, in)."""
+    p = pack(w, fmt, group_size)
+    return PackedTensor(p.codes, p.scales, fmt, p.shape[1:], group_size)
+
+
+# ---------------------------------------------------------------------------
+# Branch-free arithmetic decoders (used inside Pallas kernels where a gather
+# from a lookup table is not vectorization-friendly).
+# ---------------------------------------------------------------------------
+
+def decode_fp4_e2m1(codes: Array) -> Array:
+    """code (0..14 index into the sorted 15-value e2m1 grid) -> value.
+
+    Index 7 is 0; value = sign(i-7) * mag[|i-7|] with magnitude ranks
+    mag = [0, .5, 1, 1.5, 2, 3, 4, 6]:
+    ``mag(k) = k < 2 ? 0.5*k : (2 + (k&1)) * 2^((k>>1) - 2)``.
+    Verified against the grid in tests/test_packing.py.
+    """
+    i = codes.astype(jnp.int32) - 7
+    sign = jnp.sign(i).astype(jnp.float32)
+    k = jnp.abs(i)
+    lin = 0.5 * k.astype(jnp.float32)
+    geo = (2.0 + (k & 1).astype(jnp.float32)) * jnp.exp2(
+        (k >> 1).astype(jnp.float32) - 2.0
+    )
+    mag = jnp.where(k < 2, lin, geo)
+    return sign * mag
+
+
+def decode_fp6_e2m3(codes: Array) -> Array:
+    """Sorted-index decode of the 63-value e2m3 grid (codes 0..62, 31 -> 0)."""
+    i = codes.astype(jnp.int32) - 31
+    sign = jnp.sign(i).astype(jnp.float32)
+    k = jnp.abs(i)  # 0..31 magnitude rank into the positive e2m3 sequence
+    # k in 0..15 -> 0.125*k (subnormals + first octave);
+    # k in 16..31 -> (8 + (k & 7)) * 2^((k>>3) - 4).
+    lin = 0.125 * k.astype(jnp.float32)
+    geo = (8.0 + (k & 7).astype(jnp.float32)) * jnp.exp2(
+        (k >> 3).astype(jnp.float32) - 4.0
+    )
+    mag = jnp.where(k < 16, lin, geo)
+    return sign * mag

@@ -1,0 +1,133 @@
+"""Fused packed-weight dequant + matmul Pallas kernel.
+
+Replaces the reference's fake-quant pipeline (activation fake-quant -> dense
+fp16 GEMM, `models_fp_quant/quant_utils.py:844-850`): here the weight lives in
+HBM as 4-bit codes (two per byte, group-split layout — see
+fpqvar_tpu.ops.packing) plus per-group scales, and each K-tile is decoded
+in-register (branch-free arithmetic minifloat decode) right before the MXU
+contraction.  Weight HBM traffic is ~4x lower than bf16.
+
+Grid: (M/bm, N/bn, K/bk) with bk == group_size so one K-tile == one scale
+group; the f32 accumulator lives in the revisited output block (standard
+Pallas TPU K-loop accumulation).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fpqvar_tpu.ops import packing as P
+
+_DECODERS = {
+    "fp_e2": P.decode_fp4_e2m1,
+    "fp6_e2m3": P.decode_fp6_e2m3,
+}
+
+
+def _kernel_fp4(x_ref, codes_ref, scales_ref, out_ref, *, bk, decoder):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    bytes_ = codes_ref[:].astype(jnp.int32) & 0xFF      # [bn, bk//2]
+    lo = bytes_ & 0xF
+    hi = (bytes_ >> 4) & 0xF
+    codes = jnp.concatenate([lo, hi], axis=-1)          # [bn, bk]
+    w = decoder(codes) * scales_ref[:]                  # [bn, bk] * [bn, 1]
+    out_ref[:] += jnp.dot(
+        x_ref[:], w.astype(x_ref.dtype).T, preferred_element_type=jnp.float32
+    )
+
+
+def _kernel_int8codes(x_ref, codes_ref, scales_ref, out_ref, *, bk, decoder):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    codes = codes_ref[:].astype(jnp.int32)              # [bn, bk]
+    w = decoder(codes) * scales_ref[:]
+    out_ref[:] += jnp.dot(
+        x_ref[:], w.astype(x_ref.dtype).T, preferred_element_type=jnp.float32
+    )
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "bn", "interpret"))
+def _packed_matmul_2d(
+    x, codes, scales, *, fmt, group_size, n, k_dim, nibble,
+    bm=256, bn=256, interpret=False,
+):
+    """x [M, K] @ dequant(codes, scales).T -> [M, N] (f32)."""
+    m = x.shape[0]
+    bk = group_size
+    decoder = _DECODERS[fmt]
+    m_pad = _round_up(max(m, 8), bm) if m > bm else _round_up(max(m, 8), 8)
+    bm_eff = min(bm, m_pad)
+    if m_pad != m:
+        x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+    grid = (m_pad // bm_eff, n // bn, k_dim // bk)
+    kernel = _kernel_fp4 if nibble else _kernel_int8codes
+    codes_bk = bk // 2 if nibble else bk
+    out = pl.pallas_call(
+        functools.partial(kernel, bk=bk, decoder=decoder),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm_eff, bk), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, codes_bk), lambda i, j, kk: (j, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, 1), lambda i, j, kk: (j, kk),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm_eff, bn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * n * k_dim,
+            bytes_accessed=m_pad * k_dim * 2 + n * k_dim // (2 if nibble else 1)
+            + m_pad * n * 4,
+            transcendentals=0,
+        ),
+    )(x, codes, scales)
+    return out[:m] if m_pad != m else out
+
+
+def packed_linear(x, pw: P.PackedTensor, *, force_jnp: bool = False):
+    """x [..., K] @ dequant(pw).T where pw encodes a [N, K] weight.
+
+    On TPU uses the fused Pallas kernel (for supported formats / aligned
+    shapes); elsewhere falls back to jnp dequant + matmul (bit-identical
+    result, used by the CPU test suite).
+    """
+    n, k_dim = pw.shape
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, k_dim)
+    usable = (
+        not force_jnp
+        and jax.default_backend() == "tpu"
+        and pw.fmt in _DECODERS
+        and n % 256 == 0
+        and k_dim % pw.group_size == 0
+    )
+    if usable:
+        out = _packed_matmul_2d(
+            x2, pw.codes, pw.scales.astype(jnp.float32),
+            fmt=pw.fmt, group_size=pw.group_size, n=n, k_dim=k_dim,
+            nibble=pw.nibble_packed,
+        )
+    else:
+        w = P.dequantize(pw, dtype=x.dtype)
+        out = (x2 @ w.T).astype(jnp.float32)
+    return out.reshape(lead + (n,)).astype(x.dtype)

@@ -1,0 +1,111 @@
+"""Device mesh + sharding rules.
+
+The reference is single-process single-GPU; its only distributed machinery is
+dormant upstream-VAR DDP residue (SURVEY.md §2.9).  This layer is new and
+TPU-first: a {dp, tp} `jax.sharding.Mesh`, NamedSharding annotations on the
+stacked parameter tree, and jit-propagated XLA collectives over ICI.
+
+Sharding scheme (Megatron-style column/row split per transformer block, laid
+out so each pair (mat_qkv->proj, fc1->fc2) needs exactly one psum per branch):
+
+- ``mat_qkv_w`` [d, 3C, C]:   split output dim over tp (heads split)
+- ``proj_w``    [d, C, C]:    split input dim over tp  (row-parallel)
+- ``fc1_w``     [d, 4C, C]:   split output dim over tp
+- ``fc2_w``     [d, C, 4C]:   split input dim over tp  (row-parallel)
+- ``head.w``    [V, C]:       split vocab over tp
+- KV cache [d, B, H, L, c]:   batch over dp, heads over tp
+- activations [B, l, C]:      batch over dp, replicated over tp
+
+Everything else (embeddings, AdaLN, norms, biases of row-parallel layers) is
+replicated — they are tiny next to the four big matmuls.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fpqvar_tpu.config import MeshConfig, VARConfig
+from fpqvar_tpu.ops.packing import PackedTensor
+
+
+def make_mesh(mcfg: MeshConfig, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = mcfg.dp * mcfg.tp
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    arr = np.asarray(devices[:n]).reshape(mcfg.dp, mcfg.tp)
+    return Mesh(arr, axis_names=("dp", "tp"))
+
+
+# per-leaf PartitionSpec for the block-stacked weights; None -> replicated
+_BLOCK_SPECS = {
+    "mat_qkv_w": P(None, "tp", None),
+    "proj_w": P(None, None, "tp"),
+    "fc1_w": P(None, "tp", None),
+    "fc2_w": P(None, None, "tp"),
+    "fc1_b": P(None, "tp"),
+    "q_bias": P(None),       # qkv bias is added post-matmul on 3C: replicate
+    "v_bias": P(None),
+}
+
+_TOP_SPECS = {
+    "head": {"w": P("tp", None), "b": P("tp")},
+}
+
+
+def _path_keys(path):
+    out = []
+    for p in path:
+        if hasattr(p, "key"):
+            out.append(p.key)
+        elif hasattr(p, "idx"):
+            out.append(p.idx)
+        elif hasattr(p, "name"):
+            out.append(p.name)
+    return out
+
+
+def param_shardings(params, mesh: Mesh):
+    """NamedSharding tree matching the params tree (leaf-for-leaf)."""
+
+    def spec_for(path, leaf):
+        keys = _path_keys(path)
+        spec = P()
+        for i, k in enumerate(keys):
+            if k in _BLOCK_SPECS:
+                nxt = keys[i + 1] if i + 1 < len(keys) else None
+                if isinstance(nxt, int):
+                    # PackedTensor child (codes/scales): keep replicated for
+                    # now — packed + TP requires a shard_map'ed kernel path.
+                    spec = P()
+                else:
+                    spec = _BLOCK_SPECS[k]
+                break
+            if k == "head" and i + 1 < len(keys):
+                spec = _TOP_SPECS["head"].get(keys[i + 1], P())
+                break
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def kv_cache_shardings(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(None, "dp", "tp", None, None))
+
+
+def act_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("dp", None, None))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_params(params, mesh: Mesh):
+    """Place a params tree onto the mesh with the scheme above."""
+    sh = param_shardings(params, mesh)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s), params, sh)

@@ -1,0 +1,110 @@
+"""Offline checkpoint transformation: GALT fold -> rotate -> quantize weights.
+
+Pure function over the params pytree, replacing the reference's sequence of
+in-place model surgeries (`evaluate_fp_quant_transform_rotate.py:87-131`):
+
+1. GALT fold: ``W_qkv <- W_qkv / s_qkv``, ``W_fc1 <- W_fc1 / s_fc1`` per block
+   (`learnable_transformation/transform_model_utils.py:8-28`), storing the
+   vectors for the online activation multiply.
+2. Rotation: ``W <- W @ Q_block`` for mat_qkv and fc1
+   (`rotate_utils/rotation_utils.py:129-154,211-240`; done in float64 there —
+   we use float64 numpy on host too).
+3. Weight quantization per format/granularity
+   (`quant_utils.py:852-941` from_float), either fake (dequantized weights)
+   or packed (codes + scales for the Pallas path).
+
+The result is a new params tree; quantized checkpoints can be persisted with
+fpqvar_tpu.utils.checkpoint (the reference re-quantizes at every startup).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from fpqvar_tpu.config import QuantConfig, VARConfig
+from fpqvar_tpu.ops import hadamard as H
+from fpqvar_tpu.ops import packing as P
+from fpqvar_tpu.ops import quantizers as Q
+
+#: block-level weight leaves subject to quantization (see
+#: fpqvar_tpu.quantize.runtime.LAYER_KINDS)
+_WEIGHT_KEYS = ("mat_qkv_w", "proj_w", "fc1_w", "fc2_w")
+_ROTATED_KEYS = ("mat_qkv_w", "fc1_w")   # rotation_utils.py:221-222: fc2 and
+                                         # ada_lin rotation exist but are
+                                         # commented out of rotate_model
+
+
+def fold_galt(
+    blocks: dict,
+    mat_qkv_s: np.ndarray,   # [depth, C]
+    fc1_s: np.ndarray,       # [depth, C]
+) -> dict:
+    """transform_model: W /= s along input channels, keep s for the online
+    activation multiply (`transform_model_utils.py:8-28`)."""
+    b = dict(blocks)
+    s1 = jnp.asarray(mat_qkv_s)
+    s2 = jnp.asarray(fc1_s)
+    b["mat_qkv_w"] = blocks["mat_qkv_w"] / s1[:, None, :]
+    b["fc1_w"] = blocks["fc1_w"] / s2[:, None, :]
+    b["mat_qkv_s"] = s1.astype(blocks["mat_qkv_s"].dtype)
+    b["fc1_s"] = s2.astype(blocks["fc1_s"].dtype)
+    return b
+
+
+def rotate_blocks(blocks: dict, qcfg: QuantConfig) -> dict:
+    """Offline weight rotation W <- W @ block_diag(Q_b,...) in float64."""
+    qb = H.block_hadamard_block(qcfg.rotation_block, qcfg.rotation_seed)
+    out = dict(blocks)
+    for key in _ROTATED_KEYS:
+        w = np.asarray(blocks[key], dtype=np.float64)   # [depth, out, in]
+        d, o, i = w.shape
+        wr = (w.reshape(d, o, i // qb.shape[0], qb.shape[0]) @ qb).reshape(
+            d, o, i)
+        out[key] = jnp.asarray(wr, dtype=blocks[key].dtype)
+    return out
+
+
+def quantize_weights(blocks: dict, qcfg: QuantConfig) -> dict:
+    out = dict(blocks)
+    if qcfg.backend == "packed":
+        for key in _WEIGHT_KEYS:
+            fmt = qcfg.weight_format
+            if fmt not in P.G.GRIDS:
+                raise ValueError(f"packed backend needs a grid format, got {fmt}")
+            out[key] = P.pack_stacked(
+                jnp.asarray(blocks[key], jnp.float32), fmt, qcfg.group_size)
+        return out
+    fmt = "int_sym" if qcfg.int_quant else qcfg.weight_format
+    wq = Q.make_weight_quantizer(
+        fmt, qcfg.w_bit, granularity=qcfg.weight_quant,
+        group_size=qcfg.group_size)
+    for key in _WEIGHT_KEYS:
+        w = blocks[key]
+        out[key] = wq(w.astype(jnp.float32)).astype(w.dtype)
+    return out
+
+
+def quantize_var_params(
+    params: dict,
+    cfg: VARConfig,
+    qcfg: QuantConfig,
+    galt: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+) -> dict:
+    """Full offline pipeline.  ``galt`` = (mat_qkv_best_s, fc1_best_s), each
+    [depth, C]; required when qcfg.transform is set."""
+    out = dict(params)
+    blocks = dict(params["blocks"])
+    if qcfg.transform:
+        if galt is None:
+            raise ValueError("qcfg.transform=True requires GALT vectors")
+        blocks = fold_galt(blocks, *galt)
+    if qcfg.rotate:
+        if not qcfg.block_rotate:
+            raise NotImplementedError("only block rotation is supported")
+        blocks = rotate_blocks(blocks, qcfg)
+    if qcfg.enabled:
+        blocks = quantize_weights(blocks, qcfg)
+    out["blocks"] = blocks
+    return out

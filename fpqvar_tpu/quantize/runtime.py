@@ -1,0 +1,109 @@
+"""QuantRuntime: the *online* half of a quantization recipe.
+
+The reference bakes activation quantizers into module objects at surgery time
+(``QuantizedLinear.__init__`` dispatch tables,
+`models_fp_quant/quant_utils.py:777-827`).  Here the model stays functional:
+a :class:`QuantRuntime` carries the per-layer activation quantizer callables,
+the KV-cache quantizer, the online rotation block and the GALT flag, and the
+forward consumes it as static (trace-time) configuration.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from fpqvar_tpu.config import QuantConfig
+from fpqvar_tpu.ops import hadamard as H
+from fpqvar_tpu.ops import quantizers as Q
+
+#: layer kinds quantized by quantize_VAR (`quant_utils.py:1191-1230`):
+#: fc1, fc2 (in FFN), mat_qkv, proj (in SelfAttention).  head, word_embed,
+#: embeddings, VQVAE and SharedAdaLin stay full-precision (SharedAdaLin
+#: replacement in the reference is a silent no-op — SURVEY.md §2.3).
+LAYER_KINDS = ("mat_qkv", "proj", "fc1", "fc2")
+
+
+@dataclass(frozen=True)
+class QuantRuntime:
+    act_q: Dict[str, Optional[Callable]] = field(default_factory=dict)
+    per_block_act_q: Optional[List[Dict[str, Optional[Callable]]]] = None
+    kv_q: Optional[Callable] = None
+    kv_mode: str = "store"
+    rotation_block: Optional[jnp.ndarray] = None
+    transform: bool = False
+
+    def for_block(self, i: int) -> "QuantRuntime":
+        assert self.per_block_act_q is not None
+        return dataclasses.replace(
+            self, act_q=self.per_block_act_q[i], per_block_act_q=None)
+
+
+def _act_quantizer_for(qcfg: QuantConfig, fmt_name: str, kind: str):
+    """Build one activation quantizer, mirroring the act-side branch of
+    ``QuantizedLinear{,_fc2}.from_float`` wiring in ``quantize_VAR``
+    (`quant_utils.py:1180-1230`)."""
+    gran = qcfg.act_quant
+    if qcfg.int_quant or fmt_name in ("int_sym", "int_asym", "log2"):
+        if fmt_name == "log2" or (kind == "fc2" and qcfg.fc2_log2):
+            fmt = "log2"
+        else:
+            # fc2 activation is forced asymmetric (`quant_utils.py:1205`).
+            sym = qcfg.act_sym and kind != "fc2"
+            fmt = "int_sym" if sym else "int_asym"
+        return Q.make_act_quantizer(
+            fmt, qcfg.a_bit, granularity=gran, group_size=qcfg.group_size)
+    return Q.make_act_quantizer(
+        fmt_name, qcfg.a_bit, granularity=gran, group_size=qcfg.group_size)
+
+
+def build_runtime(qcfg: QuantConfig, depth: Optional[int] = None) -> QuantRuntime:
+    """Resolve a :class:`QuantConfig` into runtime callables."""
+    rotation = None
+    if qcfg.rotate:
+        if not qcfg.block_rotate:
+            raise NotImplementedError(
+                "full-size (non-block) rotation needs the had-K factored "
+                "matrices; the shipped recipe uses block rotation "
+                "(run.sh, --block_rotate)")
+        rotation = jnp.asarray(
+            H.block_hadamard_block(qcfg.rotation_block, qcfg.rotation_seed),
+            dtype=jnp.float32)
+
+    act_q: Dict[str, Optional[Callable]] = {k: None for k in LAYER_KINDS}
+    per_block = None
+    if qcfg.enabled:
+        if qcfg.int_quant:
+            fmts = {k: "int" for k in LAYER_KINDS}
+        else:
+            fmts = {k: qcfg.act_format for k in ("mat_qkv", "proj", "fc1")}
+            fmts["fc2"] = qcfg.fc2_format
+        act_q = {k: _act_quantizer_for(qcfg, fmts[k], k) for k in LAYER_KINDS}
+
+        if qcfg.mixed_act_formats is not None:
+            if depth is None:
+                raise ValueError("depth required for mixed-format configs")
+            if len(qcfg.mixed_act_formats) != depth:
+                raise ValueError("mixed_act_formats must have one entry per block")
+            per_block = []
+            for bfmt in qcfg.mixed_act_formats:
+                d = dict(act_q)
+                for k in ("mat_qkv", "proj", "fc1"):
+                    d[k] = _act_quantizer_for(qcfg, bfmt, k)
+                per_block.append(d)
+
+    kv_q = None
+    if qcfg.enabled and qcfg.kv_bit:
+        kv_q = lambda t: Q.fake_quant_kv(t, qcfg)  # noqa: E731
+
+    return QuantRuntime(
+        act_q=act_q,
+        per_block_act_q=per_block,
+        kv_q=kv_q,
+        kv_mode=qcfg.kv_mode,
+        rotation_block=rotation,
+        transform=qcfg.transform,
+    )

@@ -1,0 +1,178 @@
+"""VAR model tests: cache/mask equivalence, rotation & GALT invariance,
+end-to-end generation across quant configs."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fpqvar_tpu.config import (
+    QuantConfig, VARConfig, VQVAEConfig, fpqvar_w4a4, fpqvar_w6a6,
+)
+from fpqvar_tpu.models import VARGenerator, build_vae_var
+from fpqvar_tpu.models import var as V
+from fpqvar_tpu.quantize import build_runtime, quantize_var_params
+
+TINY = VARConfig(
+    depth=2, embed_dim=128, num_heads=2, patch_nums=(1, 2, 3),
+    vae=VQVAEConfig(vocab_size=64, z_channels=8, ch=16, ch_mult=(1, 2),
+                    num_res_blocks=1, patch_nums=(1, 2, 3)),
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    from fpqvar_tpu.models import var as Vm, vqvae as vqm
+
+    vae_p = vqm.init_vqvae_params(jax.random.PRNGKey(0), TINY.vae)
+    # non-degenerate AdaLN gammas so block internals affect outputs
+    var_p = Vm.init_var_params(jax.random.PRNGKey(1), TINY,
+                               adaln_gamma_std=0.02)
+    return vae_p, var_p
+
+
+def test_quantization_perturbs_forward(tiny_model):
+    """Guard against silent no-op quantization: the fp4 recipe must actually
+    change the forward output (with non-degenerate AdaLN gammas)."""
+    _, var_p = tiny_model
+    cfg = TINY
+    qcfg = fpqvar_w4a4().replace(transform=False)
+    qp = quantize_var_params(var_p, cfg, qcfg)
+    qrt = build_runtime(qcfg, cfg.depth)
+    x = jax.random.normal(jax.random.PRNGKey(11), (2, 4, cfg.width)) * 0.5
+    cond = jax.random.normal(jax.random.PRNGKey(12), (2, cfg.width)) * 0.5
+    mod = V.compute_modulations(var_p, cfg, cond)
+    base, _ = V.run_blocks(var_p, cfg, None, x, mod)
+    quant, _ = V.run_blocks(qp, cfg, qrt, x, mod)
+    rel = float(jnp.mean(jnp.abs(base - quant)) / jnp.mean(jnp.abs(base)))
+    assert 1e-4 < rel < 0.5, rel
+
+
+def _random_token_maps(key, cfg, b):
+    xs = []
+    for pn in cfg.patch_nums:
+        key, k = jax.random.split(key)
+        xs.append(jax.random.normal(k, (b, pn * pn, cfg.width)) * 0.1)
+    return xs
+
+
+def test_kv_cache_equals_full_attention(tiny_model):
+    """Step-by-step decode with the preallocated KV cache must equal a single
+    full-sequence forward under the block-causal mask — validates cache
+    write offsets, static slicing and mask construction."""
+    _, var_p = tiny_model
+    cfg = TINY
+    b = 2
+    key = jax.random.PRNGKey(42)
+    xs = _random_token_maps(key, cfg, b)
+    cond = jax.random.normal(jax.random.PRNGKey(7), (b, cfg.width)) * 0.1
+    mod = V.compute_modulations(var_p, cfg, cond)
+
+    # stepwise with cache
+    cache = V.init_kv_cache(cfg, b, jnp.float32)
+    outs = []
+    cur = 0
+    for si, x in enumerate(xs):
+        y, cache = V.run_blocks(var_p, cfg, None, x, mod, cache, cur)
+        outs.append(y)
+        cur += x.shape[1]
+    stepwise = jnp.concatenate(outs, axis=1)
+
+    # full sequence with mask
+    xfull = jnp.concatenate(xs, axis=1)
+    bias = jnp.asarray(V.attn_bias_for_masking(cfg))
+    full, _ = V.run_blocks(var_p, cfg, None, xfull, mod, attn_bias=bias)
+
+    np.testing.assert_allclose(
+        np.asarray(stepwise), np.asarray(full), atol=2e-5, rtol=1e-4)
+
+
+def test_rotation_invariance_of_forward(tiny_model):
+    """With rotation enabled but quantization disabled, the rotated weights +
+    online activation rotation must reproduce the unrotated forward
+    ((xQ)(WQ)^T = xW^T)."""
+    _, var_p = tiny_model
+    cfg = TINY
+    qcfg = QuantConfig(enabled=False, rotate=True, block_rotate=True)
+    rot_p = quantize_var_params(var_p, cfg, qcfg)
+    qrt = build_runtime(qcfg, cfg.depth)
+
+    b = 2
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, 4, cfg.width)) * 0.1
+    cond = jax.random.normal(jax.random.PRNGKey(2), (b, cfg.width)) * 0.1
+    mod = V.compute_modulations(var_p, cfg, cond)
+
+    base, _ = V.run_blocks(var_p, cfg, None, x, mod)
+    rot, _ = V.run_blocks(rot_p, cfg, qrt, x, mod)
+    np.testing.assert_allclose(np.asarray(rot), np.asarray(base),
+                               atol=5e-5, rtol=1e-4)
+
+
+def test_galt_fold_invariance(tiny_model):
+    """x*s @ (W/s)^T == x W^T: transform-only config must match baseline."""
+    _, var_p = tiny_model
+    cfg = TINY
+    rng = np.random.default_rng(0)
+    s1 = (1.0 + 0.3 * rng.random((cfg.depth, cfg.width))).astype(np.float32)
+    s2 = (1.0 + 0.3 * rng.random((cfg.depth, cfg.width))).astype(np.float32)
+    qcfg = QuantConfig(enabled=False, transform=True)
+    tp = quantize_var_params(var_p, cfg, qcfg, galt=(s1, s2))
+    qrt = build_runtime(qcfg, cfg.depth)
+
+    b = 2
+    x = jax.random.normal(jax.random.PRNGKey(3), (b, 4, cfg.width)) * 0.1
+    cond = jax.random.normal(jax.random.PRNGKey(4), (b, cfg.width)) * 0.1
+    mod = V.compute_modulations(var_p, cfg, cond)
+    base, _ = V.run_blocks(var_p, cfg, None, x, mod)
+    fold, _ = V.run_blocks(tp, cfg, qrt, x, mod)
+    np.testing.assert_allclose(np.asarray(fold), np.asarray(base),
+                               atol=5e-5, rtol=1e-4)
+
+
+def test_teacher_forcing_forward_shapes(tiny_model):
+    _, var_p = tiny_model
+    cfg = TINY
+    b = 2
+    x_wo_first = jax.random.normal(
+        jax.random.PRNGKey(5), (b, cfg.L - cfg.first_l, cfg.vae.z_channels))
+    logits = V.var_forward(var_p, cfg, None, jnp.array([1, 2]), x_wo_first)
+    assert logits.shape == (b, cfg.L, cfg.vae.vocab_size)
+    assert not bool(jnp.isnan(logits).any())
+
+
+@pytest.mark.parametrize("recipe", ["bf16", "fp4", "fp6kv", "int", "packed",
+                                    "mixed"])
+def test_generation_configs(tiny_model, recipe):
+    vae_p, var_p = tiny_model
+    cfg = TINY
+    galt = (np.ones((cfg.depth, cfg.width), np.float32) * 1.1,
+            np.ones((cfg.depth, cfg.width), np.float32) * 0.9)
+    if recipe == "bf16":
+        qcfg, galt = QuantConfig(), None
+    elif recipe == "fp4":
+        qcfg = fpqvar_w4a4()
+    elif recipe == "fp6kv":
+        qcfg = fpqvar_w6a6().replace(kv_bit=6, kv_mode="reference")
+    elif recipe == "int":
+        qcfg = QuantConfig(enabled=True, int_quant=True, w_bit=8, a_bit=8,
+                           weight_quant="per_channel", act_quant="per_token")
+        galt = None
+    elif recipe == "packed":
+        qcfg = fpqvar_w4a4().replace(backend="packed")
+    elif recipe == "mixed":
+        qcfg = fpqvar_w4a4().replace(
+            transform=False, mixed_act_formats=("fp_e2", "fp_e3"))
+        galt = None
+    qp = quantize_var_params(var_p, cfg, qcfg, galt=galt)
+    gen = VARGenerator(cfg, qcfg)
+    imgs = gen.generate(qp, vae_p, jnp.array([3, 5]), jax.random.PRNGKey(1))
+    assert imgs.shape == (2, 3, 6, 6)
+    assert float(imgs.min()) >= 0.0 and float(imgs.max()) <= 1.0
+    assert not bool(jnp.isnan(imgs).any())
+
+
+def test_generation_deterministic_given_key(tiny_model):
+    vae_p, var_p = tiny_model
+    gen = VARGenerator(TINY, QuantConfig())
+    a = gen.generate(var_p, vae_p, jnp.array([3]), jax.random.PRNGKey(9))
+    b = gen.generate(var_p, vae_p, jnp.array([3]), jax.random.PRNGKey(9))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
