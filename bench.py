@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Throughput benchmark: images/sec/chip, VAR-d30 FP4 256x256.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+vs_baseline = fp4-packed throughput / bf16-unquantized throughput on the same
+chip and batch (the reference publishes no throughput numbers at all —
+BASELINE.md — so our bf16 path is the baseline).
+
+Run standalone (single jax process): `python bench.py`.
+Smaller presets: `python bench.py --preset tiny|d16` for smoke runs.
+"""
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build(preset: str):
+    from fpqvar_tpu.config import VARConfig, VQVAEConfig
+
+    if preset == "tiny":
+        cfg = VARConfig(
+            depth=2, embed_dim=128, num_heads=2, patch_nums=(1, 2, 3),
+            vae=VQVAEConfig(vocab_size=64, z_channels=8, ch=16,
+                            ch_mult=(1, 2), num_res_blocks=1,
+                            patch_nums=(1, 2, 3)))
+        batch = 2
+    elif preset == "d16":
+        cfg = VARConfig(depth=16)
+        batch = 8
+    else:
+        cfg = VARConfig(depth=30)
+        batch = 8
+    return cfg, batch
+
+
+def time_generate(gen, params, vae_params, label, key, rounds=3):
+    # warmup + compile
+    imgs = gen.generate(params, vae_params, label, key)
+    imgs.block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(rounds):
+        imgs = gen.generate(params, vae_params, label,
+                            jax.random.fold_in(key, i))
+        imgs.block_until_ready()
+    dt = (time.perf_counter() - t0) / rounds
+    assert not bool(jnp.isnan(imgs).any()), "NaN in generated images"
+    return label.shape[0] / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="d30",
+                    choices=["tiny", "d16", "d30"])
+    ap.add_argument("--rounds", type=int, default=3)
+    args = ap.parse_args()
+
+    from fpqvar_tpu.config import GenerateConfig, QuantConfig, fpqvar_w4a4
+    from fpqvar_tpu.models import VARGenerator
+    from fpqvar_tpu.models.var import init_var_params
+    from fpqvar_tpu.models.vqvae import init_vqvae_params
+    from fpqvar_tpu.quantize import quantize_var_params
+
+    cfg, batch = build(args.preset)
+    key = jax.random.PRNGKey(0)
+    var_p = init_var_params(key, cfg, dtype=jnp.bfloat16)
+    vae_p = init_vqvae_params(jax.random.PRNGKey(1), cfg.vae)
+    vae_p = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        vae_p)
+    label = jnp.arange(batch, dtype=jnp.int32) % cfg.num_classes
+    gen_cfg = GenerateConfig()
+
+    # bf16 baseline
+    gen_bf16 = VARGenerator(cfg, QuantConfig(), gen_cfg)
+    ips_bf16 = time_generate(gen_bf16, var_p, vae_p, label, key,
+                             args.rounds)
+    print(f"# bf16: {ips_bf16:.3f} images/sec", file=sys.stderr)
+
+    # fp4 packed (rotation + GALT identity vectors; rotation is the
+    # perf-relevant online op, GALT fold is free at runtime)
+    qcfg = fpqvar_w4a4().replace(backend="packed", transform=False)
+    qp = quantize_var_params(var_p, cfg, qcfg)
+    gen_fp4 = VARGenerator(cfg, qcfg, gen_cfg)
+    ips_fp4 = time_generate(gen_fp4, qp, vae_p, label, key, args.rounds)
+    print(f"# fp4-packed: {ips_fp4:.3f} images/sec", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": f"images/sec/chip VAR-{args.preset} FP4-packed 256x256 "
+                  f"(W4 e2m1 per-group-128 + block-Hadamard, batch "
+                  f"{batch}, cfg-doubled)",
+        "value": round(ips_fp4, 4),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips_fp4 / ips_bf16, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+"""50k-image class-conditional generation driver.
+
+Replaces the reference's eager eval loop
+(`evaluate_fp_quant_transform_rotate.py:187-207`): 1000 classes x
+num_img_per_class images, PNGs on disk as the resume checkpoint (a class
+whose files all exist is skipped — same restart granularity as the
+reference, SURVEY.md §5 failure detection).  Classes can be partitioned
+across hosts (the workload is embarrassingly parallel — this is the dp axis
+of the distributed design the single-GPU reference lacks).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from fpqvar_tpu.eval.imaging import save_images_png
+
+
+def class_range_for_host(num_classes: int, host_id: int,
+                         num_hosts: int) -> range:
+    per = -(-num_classes // num_hosts)
+    return range(host_id * per, min((host_id + 1) * per, num_classes))
+
+
+def generate_eval_set(
+    generator,                  # VARGenerator
+    params,
+    vae_params,
+    out_dir: str,
+    num_img_per_class: int = 50,
+    classes: Optional[Sequence[int]] = None,
+    seed: int = 0,
+    batch: Optional[int] = None,
+    log_every: int = 50,
+) -> None:
+    """Reference protocol: per class, batch = num_img_per_class images with
+    g_seed=0, cfg/top-k/top-p from the generator's GenerateConfig
+    (`evaluate...py:187-199`)."""
+    cfg = generator.cfg
+    classes = classes if classes is not None else range(cfg.num_classes)
+    batch = batch or num_img_per_class
+    os.makedirs(out_dir, exist_ok=True)
+    t0 = time.time()
+    done = 0
+    for ci in classes:
+        last = os.path.join(
+            out_dir, f"class{ci}_img{num_img_per_class - 1}.png")
+        if os.path.exists(last):
+            continue  # resume: PNGs on disk are the checkpoint
+        produced = 0
+        while produced < num_img_per_class:
+            b = min(batch, num_img_per_class - produced)
+            label = jnp.full((b,), ci, jnp.int32)
+            key = jax.random.PRNGKey(seed)
+            key = jax.random.fold_in(key, ci * 1000 + produced)
+            imgs = generator.generate(params, vae_params, label, key)
+            save_images_png(imgs, out_dir, ci, start_idx=produced)
+            produced += b
+        done += 1
+        if done % log_every == 0:
+            rate = done / (time.time() - t0)
+            print(f"[eval] {done} classes done ({rate:.2f} classes/s)",
+                  flush=True)

@@ -53,8 +53,11 @@ class VARGenerator:
                 x, cond_BD, mod, lvl_pos, (ck, cv), f_hat, key)
             return nxt, ck, cv, f_hat, key
 
+        # donate the KV cache and f_hat (threaded through the scale loop);
+        # arg order after the bound `st`: params, vae_q, x, cond, mod,
+        # lvl_pos, ck(6), cv(7), f_hat(8), key
         self._steps = [
-            jax.jit(partial(_step, st), donate_argnums=(7, 8, 9))
+            jax.jit(partial(_step, st), donate_argnums=(6, 7, 8))
             for st in self.statics
         ]
         self._prepare = jax.jit(partial(V.prepare_generation, cfg=cfg))
@@ -70,6 +73,7 @@ class VARGenerator:
         (`var.py:134-217`)."""
         cfg = self.cfg
         b = label_B.shape[0]
+        key = jax.random.fold_in(key, 0)   # private copy; steps may donate
         cond_BD, mod, lvl_pos, x = self._prepare(
             params=params, label_B=label_B)
         x = x.astype(self.compute_dtype)

@@ -126,10 +126,16 @@ def block_forward(
     cache_v: Optional[Array] = None,
     cur: int = 0,                  # static: tokens already cached
     attn_bias: Optional[Array] = None,
-) -> Tuple[Array, Optional[KVUpdate]]:
+    capture: bool = False,
+) -> Tuple[Array, Optional[KVUpdate], Optional[Dict[str, Array]]]:
     """One AdaLNSelfAttn block (`basic_var.py:253-269`).
 
-    Returns the new x and, when caching, the updated (k, v) cache tensors.
+    Returns (new x, updated (k, v) cache when caching, activation taps when
+    ``capture``).  Taps mirror the reference's calibration capture in the
+    baseline model package (`models/basic_var.py:56-61,144-150`): the inputs
+    of mat_qkv, proj, fc1 and fc2 — recorded *after* smoothing/rotation/
+    act-quant if those are enabled (for the baseline qrt=None they equal the
+    reference's raw captures).
     """
     heads, hd = cfg.heads, cfg.head_dim
     b, l, c = x.shape
@@ -147,6 +153,7 @@ def block_forward(
         x1 = apply_block_hadamard(x1, rot)
     if aq.get("mat_qkv") is not None:
         x1 = aq["mat_qkv"](x1)
+    taps = {"mat_qkv": x1} if capture else None
     qkv = linear(x1, bp["mat_qkv_w"])
     bias = jnp.concatenate(
         [bp["q_bias"], jnp.zeros_like(bp["q_bias"]), bp["v_bias"]]
@@ -186,6 +193,8 @@ def block_forward(
     oup = _attention(q, k_all, v_all, attn_bias)
     if aq.get("proj") is not None:
         oup = aq["proj"](oup)
+    if capture:
+        taps["proj"] = oup
     x = x + (linear(oup, bp["proj_w"], bp["proj_b"]) * gamma1).astype(x.dtype)
 
     # ---- FFN branch
@@ -199,9 +208,12 @@ def block_forward(
     h = gelu_tanh(linear(x2, bp["fc1_w"], bp["fc1_b"]))
     if aq.get("fc2") is not None:
         h = aq["fc2"](h)
+    if capture:
+        taps["fc1"] = x2
+        taps["fc2"] = h
     out = linear(h, bp["fc2_w"], bp["fc2_b"])
     x = x + (out * gamma2).astype(x.dtype)
-    return x, kv_update
+    return x, kv_update, taps
 
 
 # ---------------------------------------------------------------------------
@@ -258,7 +270,8 @@ def run_blocks(
     cache: Optional[Tuple[Array, Array]] = None,   # ([d,B,H,L,c], ...)
     cur: int = 0,
     attn_bias: Optional[Array] = None,
-) -> Tuple[Array, Optional[Tuple[Array, Array]]]:
+    capture: bool = False,
+) -> Tuple[Array, Optional[Tuple[Array, Array]], Optional[Dict[str, Array]]]:
     blocks = params["blocks"]
     per_block_aq = qrt is not None and qrt.per_block_act_q is not None
 
@@ -266,37 +279,43 @@ def run_blocks(
         # Mixed-format configs (`quant_utils.py:1256-1432`) need per-block
         # quantizers -> unrolled python loop (still jit-compatible).
         d = cfg.depth
-        new_k, new_v = [], []
+        new_k, new_v, taps_l = [], [], []
         for i in range(d):
             bp = jax.tree_util.tree_map(lambda a: a[i], blocks)
             qrt_i = qrt.for_block(i)
             ck = cache[0][i] if cache is not None else None
             cv = cache[1][i] if cache is not None else None
-            x, upd = block_forward(
-                x, bp, mod[i], qrt_i, cfg, ck, cv, cur, attn_bias)
+            x, upd, taps = block_forward(
+                x, bp, mod[i], qrt_i, cfg, ck, cv, cur, attn_bias, capture)
             if upd is not None:
                 new_k.append(upd.k)
                 new_v.append(upd.v)
+            if capture:
+                taps_l.append(taps)
+        taps_out = (jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *taps_l)
+                    if capture else None)
         if cache is not None:
-            return x, (jnp.stack(new_k), jnp.stack(new_v))
-        return x, None
+            return x, (jnp.stack(new_k), jnp.stack(new_v)), taps_out
+        return x, None, taps_out
 
     def body(carry, xs):
         xc = carry
         if cache is not None:
             bp, m, ck, cv = xs
-            xc, upd = block_forward(xc, bp, m, qrt, cfg, ck, cv, cur,
-                                    attn_bias)
-            return xc, (upd.k, upd.v)
+            xc, upd, taps = block_forward(xc, bp, m, qrt, cfg, ck, cv, cur,
+                                          attn_bias, capture)
+            return xc, ((upd.k, upd.v), taps)
         bp, m = xs
-        xc, _ = block_forward(xc, bp, m, qrt, cfg, None, None, cur, attn_bias)
-        return xc, None
+        xc, _, taps = block_forward(xc, bp, m, qrt, cfg, None, None, cur,
+                                    attn_bias, capture)
+        return xc, (None, taps)
 
     if cache is not None:
-        x, (ks, vs) = jax.lax.scan(body, x, (blocks, mod, cache[0], cache[1]))
-        return x, (ks, vs)
-    x, _ = jax.lax.scan(body, x, (blocks, mod))
-    return x, None
+        x, ((ks, vs), taps) = jax.lax.scan(
+            body, x, (blocks, mod, cache[0], cache[1]))
+        return x, (ks, vs), taps
+    x, (_, taps) = jax.lax.scan(body, x, (blocks, mod))
+    return x, None, taps
 
 
 # ---------------------------------------------------------------------------
@@ -334,7 +353,7 @@ def var_forward(
 
     mod = compute_modulations(params, cfg, cond_BD)
     bias = jnp.asarray(attn_bias_for_masking(cfg))
-    x, _ = run_blocks(params, cfg, qrt, x, mod, attn_bias=bias)
+    x, _, _ = run_blocks(params, cfg, qrt, x, mod, attn_bias=bias)
     return head_logits(params, cfg, x.astype(jnp.float32), cond_BD)
 
 
@@ -383,7 +402,7 @@ def scale_step(
     transformer -> logits -> CFG -> sample -> residual pyramid -> next map."""
     b2 = x.shape[0]
     b = b2 // 2
-    x, cache = run_blocks(params, cfg, qrt, x, mod, cache, st.cur)
+    x, cache, _ = run_blocks(params, cfg, qrt, x, mod, cache, st.cur)
     logits = head_logits(params, cfg, x.astype(jnp.float32), cond_BD)
 
     t = gen.cfg * (st.si / (cfg.num_scales - 1))

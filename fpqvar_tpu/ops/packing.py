@@ -9,10 +9,13 @@ in-register on the way into the MXU.
 Layout
 ------
 - fp4 formats (15-entry grids): 4-bit codes, two per int8 byte, halving
-  weight HBM traffic vs int8 codes.  Within each 128-wide quantization group
-  the byte at offset j (0<=j<64) holds column j in its low nibble and column
-  64+j in its high nibble ("group-split" layout): the in-kernel unpack is
-  then two shifts plus a lane-dimension concat — no interleave shuffles.
+  weight HBM traffic vs int8 codes.  Codes are packed across *rows* (the
+  output dim of a weight): within each 128-row tile, byte row r (0<=r<64)
+  holds row r in its low nibble and row 64+r in its high nibble
+  ("row-split" layout).  A Pallas K-tile of codes is then a legal
+  (64, 128)-shaped int8 block, and the in-kernel unpack is two shifts plus a
+  cheap sublane concat — no lane shuffles.  Requires rows % 128 == 0;
+  otherwise codes fall back to one int8 byte per element.
 - fp6/int6 formats (<=64-entry grids): one 6-bit code per int8 byte (TPU has
   no native 6-bit lane; byte-aligned codes keep loads vectorizable while
   still 2.7x smaller than bf16).
@@ -40,25 +43,23 @@ class PackedTensor:
     """Quantized tensor: codes + scales + metadata. A pytree-compatible value
     (registered below) so it can live inside model params."""
 
-    codes: Array            # int8; packed nibbles for 4-bit formats
+    codes: Array            # int8; row-split nibble-packed for 4-bit formats
     scales: Array           # f32 [..., n_groups] broadcastable over groups
     fmt: str
     shape: Tuple[int, ...]  # logical (unpacked) shape
     group_size: int
-
-    @property
-    def nibble_packed(self) -> bool:
-        return len(G.GRIDS[self.fmt]) <= 16
+    nibble_packed: bool = False
 
 
 def _flatten_fields(p: PackedTensor):
-    return (p.codes, p.scales), (p.fmt, p.shape, p.group_size)
+    return (p.codes, p.scales), (p.fmt, p.shape, p.group_size,
+                                 p.nibble_packed)
 
 
 def _unflatten_fields(aux, children):
-    fmt, shape, group_size = aux
+    fmt, shape, group_size, nibble = aux
     codes, scales = children
-    return PackedTensor(codes, scales, fmt, shape, group_size)
+    return PackedTensor(codes, scales, fmt, shape, group_size, nibble)
 
 
 import jax  # noqa: E402
@@ -85,30 +86,31 @@ def pack(x: Array, fmt: str, group_size: int = 128) -> PackedTensor:
     xg = x.reshape(shape[:-1] + (shape[-1] // group_size, group_size))
     absmax = jnp.max(jnp.abs(xg), axis=-1, keepdims=True)
     scales = jnp.where(absmax > 0, absmax / gmax, 1.0).astype(jnp.float32)
-    codes = encode_to_grid(xg / scales, grid)       # [..., G, group_size]
-    if len(grid) <= 16:
-        half = group_size // 2
-        lo = codes[..., :half]
-        hi = codes[..., half:]
-        packed = (lo | (hi << 4)).astype(jnp.int8)  # [..., G, half]
-        packed = packed.reshape(shape[:-1] + (shape[-1] // 2,))
+    codes = encode_to_grid(xg / scales, grid).reshape(shape)
+    nibble = (len(grid) <= 16 and len(shape) >= 2 and shape[-2] % 128 == 0)
+    if nibble:
+        rows = shape[-2]
+        ct = codes.reshape(shape[:-2] + (rows // 128, 128, shape[-1]))
+        lo = ct[..., :64, :]
+        hi = ct[..., 64:, :]
+        packed = (lo | (hi << 4)).astype(jnp.int8)
+        packed = packed.reshape(shape[:-2] + (rows // 2, shape[-1]))
     else:
-        packed = codes.astype(jnp.int8).reshape(shape)
-    return PackedTensor(packed, scales[..., 0], fmt, shape, group_size)
+        packed = codes.astype(jnp.int8)
+    return PackedTensor(packed, scales[..., 0], fmt, shape, group_size,
+                        nibble)
 
 
 def unpack_codes(p: PackedTensor) -> Array:
-    """int32 code indices at logical shape (inverse of the group-split
-    nibble layout, see module docstring)."""
+    """int32 code indices at logical shape (inverse of the row-split nibble
+    layout, see module docstring)."""
     if p.nibble_packed:
-        g = p.group_size
-        half = g // 2
-        n_groups = p.shape[-1] // g
+        rows = p.shape[-2]
         b = p.codes.astype(jnp.int32) & 0xFF
-        bg = b.reshape(p.shape[:-1] + (n_groups, half))
-        lo = bg & 0xF
-        hi = (bg >> 4) & 0xF
-        codes = jnp.concatenate([lo, hi], axis=-1).reshape(p.shape)
+        bt = b.reshape(p.shape[:-2] + (rows // 128, 64, p.shape[-1]))
+        lo = bt & 0xF
+        hi = (bt >> 4) & 0xF
+        codes = jnp.concatenate([lo, hi], axis=-2).reshape(p.shape)
     else:
         codes = p.codes.astype(jnp.int32)
     return codes
@@ -132,7 +134,8 @@ def pack_stacked(w: Array, fmt: str, group_size: int = 128) -> PackedTensor:
     PackedTensor: the static ``shape`` aux records the *per-block* logical
     shape (out, in)."""
     p = pack(w, fmt, group_size)
-    return PackedTensor(p.codes, p.scales, fmt, p.shape[1:], group_size)
+    return PackedTensor(p.codes, p.scales, fmt, p.shape[1:], group_size,
+                        p.nibble_packed)
 
 
 # ---------------------------------------------------------------------------

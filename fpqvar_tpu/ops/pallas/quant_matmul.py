@@ -29,20 +29,30 @@ _DECODERS = {
 
 
 def _kernel_fp4(x_ref, codes_ref, scales_ref, out_ref, *, bk, decoder):
+    """codes_ref is a (bn/2, bk) byte tile in row-split layout: byte row r
+    holds weight row r (lo nibble) and row r + bn/2 (hi nibble) of this
+    output tile — unpack is two shifts + a sublane concat."""
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    bytes_ = codes_ref[:].astype(jnp.int32) & 0xFF      # [bn, bk//2]
+    bytes_ = codes_ref[:].astype(jnp.int32) & 0xFF      # [bn//2, bk]
     lo = bytes_ & 0xF
     hi = (bytes_ >> 4) & 0xF
-    codes = jnp.concatenate([lo, hi], axis=-1)          # [bn, bk]
-    w = decoder(codes) * scales_ref[:]                  # [bn, bk] * [bn, 1]
-    out_ref[:] += jnp.dot(
-        x_ref[:], w.astype(x_ref.dtype).T, preferred_element_type=jnp.float32
-    )
+    codes = jnp.concatenate([lo, hi], axis=0)           # [bn, bk]
+    w = decoder(codes)                                  # [bn, bk] grid values
+    acc = jnp.dot(x_ref[:], w.astype(x_ref.dtype).T,
+                  preferred_element_type=jnp.float32)   # [bm, bn]
+    # per-group scale applied on the output columns (bk == one scale group)
+    j = pl.program_id(1)
+    bn = w.shape[0]
+    # dynamic sublane loads must be aligned -> select group row k by mask
+    s_all = scales_ref[:, pl.ds(j * bn, bn)]            # [G, bn]
+    row = jax.lax.broadcasted_iota(jnp.int32, s_all.shape, 0)
+    s = jnp.sum(jnp.where(row == k, s_all, 0.0), axis=0, keepdims=True)
+    out_ref[:] += acc * s
 
 
 def _kernel_int8codes(x_ref, codes_ref, scales_ref, out_ref, *, bk, decoder):
@@ -53,22 +63,30 @@ def _kernel_int8codes(x_ref, codes_ref, scales_ref, out_ref, *, bk, decoder):
         out_ref[:] = jnp.zeros_like(out_ref)
 
     codes = codes_ref[:].astype(jnp.int32)              # [bn, bk]
-    w = decoder(codes) * scales_ref[:]
-    out_ref[:] += jnp.dot(
-        x_ref[:], w.astype(x_ref.dtype).T, preferred_element_type=jnp.float32
-    )
+    w = decoder(codes)
+    acc = jnp.dot(x_ref[:], w.astype(x_ref.dtype).T,
+                  preferred_element_type=jnp.float32)
+    j = pl.program_id(1)
+    bn = w.shape[0]
+    # dynamic sublane loads must be aligned -> select group row k by mask
+    s_all = scales_ref[:, pl.ds(j * bn, bn)]            # [G, bn]
+    row = jax.lax.broadcasted_iota(jnp.int32, s_all.shape, 0)
+    s = jnp.sum(jnp.where(row == k, s_all, 0.0), axis=0, keepdims=True)
+    out_ref[:] += acc * s
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("bm", "bn", "interpret"))
+@functools.partial(jax.jit, static_argnames=(
+    "fmt", "group_size", "n", "k_dim", "nibble", "bm", "bn", "interpret"))
 def _packed_matmul_2d(
     x, codes, scales, *, fmt, group_size, n, k_dim, nibble,
-    bm=256, bn=256, interpret=False,
+    bm=128, bn=128, interpret=False,
 ):
-    """x [M, K] @ dequant(codes, scales).T -> [M, N] (f32)."""
+    """x [M, K] @ dequant(codes, scales_t).T -> [M, N] (f32).
+    ``scales`` here is TRANSPOSED: [G, N] (G = K/group_size)."""
     m = x.shape[0]
     bk = group_size
     decoder = _DECODERS[fmt]
@@ -78,17 +96,18 @@ def _packed_matmul_2d(
         x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
     grid = (m_pad // bm_eff, n // bn, k_dim // bk)
     kernel = _kernel_fp4 if nibble else _kernel_int8codes
-    codes_bk = bk // 2 if nibble else bk
+    codes_bn = bn // 2 if nibble else bn
     out = pl.pallas_call(
         functools.partial(kernel, bk=bk, decoder=decoder),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bm_eff, bk), lambda i, j, kk: (i, kk),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn, codes_bk), lambda i, j, kk: (j, kk),
+            pl.BlockSpec((codes_bn, bk), lambda i, j, kk: (j, kk),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn, 1), lambda i, j, kk: (j, kk),
-                         memory_space=pltpu.VMEM),
+            # scales transposed to [G, N], whole array resident in VMEM
+            # (tiny: N*G*4 bytes), sliced dynamically in-kernel
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm_eff, bn), lambda i, j, kk: (i, j),
                                memory_space=pltpu.VMEM),
@@ -118,12 +137,12 @@ def packed_linear(x, pw: P.PackedTensor, *, force_jnp: bool = False):
         not force_jnp
         and jax.default_backend() == "tpu"
         and pw.fmt in _DECODERS
-        and n % 256 == 0
+        and n % 128 == 0
         and k_dim % pw.group_size == 0
     )
     if usable:
         out = _packed_matmul_2d(
-            x2, pw.codes, pw.scales.astype(jnp.float32),
+            x2, pw.codes, pw.scales.astype(jnp.float32).T,
             fmt=pw.fmt, group_size=pw.group_size, n=n, k_dim=k_dim,
             nibble=pw.nibble_packed,
         )

@@ -32,14 +32,23 @@ def test_pack_dequant_equals_fake_quant():
 
 
 def test_nibble_packing_size():
-    x = jnp.array(np.random.default_rng(1).normal(size=(8, 256)),
+    x = jnp.array(np.random.default_rng(1).normal(size=(256, 256)),
                   dtype=jnp.float32)
     p4 = P.pack(x, "fp_e2")
-    assert p4.codes.shape == (8, 128)       # two codes per byte
+    assert p4.nibble_packed
+    assert p4.codes.shape == (128, 256)     # two row-codes per byte
     assert p4.codes.dtype == jnp.int8
     p6 = P.pack(x, "fp6_e2m3")
-    assert p6.codes.shape == (8, 256)       # one code per byte
-    assert p6.scales.shape == (8, 2)
+    assert not p6.nibble_packed
+    assert p6.codes.shape == (256, 256)     # one code per byte
+    assert p6.scales.shape == (256, 2)
+    # rows not divisible by 128 -> byte-per-code fallback, still roundtrips
+    x8 = x[:8]
+    p8 = P.pack(x8, "fp_e2")
+    assert not p8.nibble_packed
+    np.testing.assert_allclose(
+        np.asarray(P.dequantize(p8)),
+        np.asarray(Q.fake_quant_fp(x8, "fp_e2")), rtol=1e-6)
 
 
 def test_packed_tensor_is_pytree():

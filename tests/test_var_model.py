@@ -41,8 +41,8 @@ def test_quantization_perturbs_forward(tiny_model):
     x = jax.random.normal(jax.random.PRNGKey(11), (2, 4, cfg.width)) * 0.5
     cond = jax.random.normal(jax.random.PRNGKey(12), (2, cfg.width)) * 0.5
     mod = V.compute_modulations(var_p, cfg, cond)
-    base, _ = V.run_blocks(var_p, cfg, None, x, mod)
-    quant, _ = V.run_blocks(qp, cfg, qrt, x, mod)
+    base, _, _ = V.run_blocks(var_p, cfg, None, x, mod)
+    quant, _, _ = V.run_blocks(qp, cfg, qrt, x, mod)
     rel = float(jnp.mean(jnp.abs(base - quant)) / jnp.mean(jnp.abs(base)))
     assert 1e-4 < rel < 0.5, rel
 
@@ -72,7 +72,7 @@ def test_kv_cache_equals_full_attention(tiny_model):
     outs = []
     cur = 0
     for si, x in enumerate(xs):
-        y, cache = V.run_blocks(var_p, cfg, None, x, mod, cache, cur)
+        y, cache, _ = V.run_blocks(var_p, cfg, None, x, mod, cache, cur)
         outs.append(y)
         cur += x.shape[1]
     stepwise = jnp.concatenate(outs, axis=1)
@@ -80,7 +80,7 @@ def test_kv_cache_equals_full_attention(tiny_model):
     # full sequence with mask
     xfull = jnp.concatenate(xs, axis=1)
     bias = jnp.asarray(V.attn_bias_for_masking(cfg))
-    full, _ = V.run_blocks(var_p, cfg, None, xfull, mod, attn_bias=bias)
+    full, _, _ = V.run_blocks(var_p, cfg, None, xfull, mod, attn_bias=bias)
 
     np.testing.assert_allclose(
         np.asarray(stepwise), np.asarray(full), atol=2e-5, rtol=1e-4)
@@ -101,8 +101,8 @@ def test_rotation_invariance_of_forward(tiny_model):
     cond = jax.random.normal(jax.random.PRNGKey(2), (b, cfg.width)) * 0.1
     mod = V.compute_modulations(var_p, cfg, cond)
 
-    base, _ = V.run_blocks(var_p, cfg, None, x, mod)
-    rot, _ = V.run_blocks(rot_p, cfg, qrt, x, mod)
+    base, _, _ = V.run_blocks(var_p, cfg, None, x, mod)
+    rot, _, _ = V.run_blocks(rot_p, cfg, qrt, x, mod)
     np.testing.assert_allclose(np.asarray(rot), np.asarray(base),
                                atol=5e-5, rtol=1e-4)
 
@@ -122,8 +122,8 @@ def test_galt_fold_invariance(tiny_model):
     x = jax.random.normal(jax.random.PRNGKey(3), (b, 4, cfg.width)) * 0.1
     cond = jax.random.normal(jax.random.PRNGKey(4), (b, cfg.width)) * 0.1
     mod = V.compute_modulations(var_p, cfg, cond)
-    base, _ = V.run_blocks(var_p, cfg, None, x, mod)
-    fold, _ = V.run_blocks(tp, cfg, qrt, x, mod)
+    base, _, _ = V.run_blocks(var_p, cfg, None, x, mod)
+    fold, _, _ = V.run_blocks(tp, cfg, qrt, x, mod)
     np.testing.assert_allclose(np.asarray(fold), np.asarray(base),
                                atol=5e-5, rtol=1e-4)
 
