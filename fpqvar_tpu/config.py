@@ -156,6 +156,9 @@ class QuantConfig:
     #: like `basic_var.py:138-147`; "store" = quantize once on append (the
     #: TPU-native design: cache holds quantized values from the start).
     kv_mode: str = "store"
+    #: "fake" keeps a dense bf16 cache; "packed" stores int8 codes +
+    #: per-token scales (requires kv_mode="store" and a grid kv format).
+    kv_backend: str = "fake"
 
     rotate: bool = False
     block_rotate: bool = True

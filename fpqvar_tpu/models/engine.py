@@ -35,7 +35,13 @@ class VARGenerator:
         compute_dtype=jnp.bfloat16,
         mesh=None,
         shardings=None,
+        fuse_steps: bool = True,
     ):
+        """``fuse_steps=True`` traces the full 10-scale decode (including
+        sampling and the VQVAE residual pyramid) into ONE jitted program —
+        one device dispatch per generation instead of ~12, and XLA gets the
+        whole schedule to overlap.  ``False`` keeps per-scale programs
+        (smaller compiles; used by tools that intervene between steps)."""
         self.cfg = cfg
         self.qcfg = qcfg
         self.gen = gen
@@ -45,19 +51,20 @@ class VARGenerator:
         self.statics = V.GenStatics.all_steps(cfg)
         self.mesh = mesh
         self.shardings = shardings
+        self.fuse_steps = fuse_steps
 
         def _step(st, params, vae_qparams, x, cond_BD, mod, lvl_pos,
-                  ck, cv, f_hat, key):
-            nxt, (ck, cv), f_hat, key = V.scale_step(
+                  cache, f_hat, key):
+            nxt, cache, f_hat, key = V.scale_step(
                 params, vae_qparams, cfg, self.qrt, gen, st,
-                x, cond_BD, mod, lvl_pos, (ck, cv), f_hat, key)
-            return nxt, ck, cv, f_hat, key
+                x, cond_BD, mod, lvl_pos, cache, f_hat, key)
+            return nxt, cache, f_hat, key
 
         # donate the KV cache and f_hat (threaded through the scale loop);
         # arg order after the bound `st`: params, vae_q, x, cond, mod,
-        # lvl_pos, ck(6), cv(7), f_hat(8), key
+        # lvl_pos, cache(6), f_hat(7), key
         self._steps = [
-            jax.jit(partial(_step, st), donate_argnums=(6, 7, 8))
+            jax.jit(partial(_step, st), donate_argnums=(6, 7))
             for st in self.statics
         ]
         self._prepare = jax.jit(partial(V.prepare_generation, cfg=cfg))
@@ -66,6 +73,28 @@ class VARGenerator:
                 vq.decode(vae_params, cfg.vae, f_hat) + 1.0) * 0.5
         )
 
+        def _fused(params, vae_qparams, label_B, key):
+            b = label_B.shape[0]
+            key = jax.random.fold_in(key, 0)  # match the stepwise path
+            cond_BD, mod, lvl_pos, x = V.prepare_generation(
+                params, cfg, label_B)
+            x = x.astype(compute_dtype)
+            mod = mod.astype(compute_dtype)
+            lvl_pos = lvl_pos.astype(compute_dtype)
+            cache = V.init_kv_cache(cfg, 2 * b, cache_dtype,
+                                    kv_codec=self.qrt.kv_codec)
+            hw = cfg.patch_nums[-1]
+            f_hat = jnp.zeros((b, cfg.vae.z_channels, hw, hw), jnp.float32)
+            for st in self.statics:
+                x, cache, f_hat, key = V.scale_step(
+                    params, vae_qparams, cfg, self.qrt, gen, st,
+                    x, cond_BD, mod, lvl_pos, cache, f_hat, key)
+                if x is not None:
+                    x = x.astype(compute_dtype)
+            return f_hat
+
+        self._fused = jax.jit(_fused)
+
     def generate(
         self, params, vae_params, label_B, key, return_fhat: bool = False
     ):
@@ -73,20 +102,26 @@ class VARGenerator:
         (`var.py:134-217`)."""
         cfg = self.cfg
         b = label_B.shape[0]
+        if self.fuse_steps:
+            f_hat = self._fused(params, vae_params["quantize"], label_B, key)
+            if return_fhat:
+                return f_hat
+            return self._decode(vae_params, f_hat)
         key = jax.random.fold_in(key, 0)   # private copy; steps may donate
         cond_BD, mod, lvl_pos, x = self._prepare(
             params=params, label_B=label_B)
         x = x.astype(self.compute_dtype)
         mod = mod.astype(self.compute_dtype)
         lvl_pos = lvl_pos.astype(self.compute_dtype)
-        ck, cv = V.init_kv_cache(cfg, 2 * b, self.cache_dtype)
+        cache = V.init_kv_cache(cfg, 2 * b, self.cache_dtype,
+                                kv_codec=self.qrt.kv_codec)
         hw = cfg.patch_nums[-1]
         f_hat = jnp.zeros((b, cfg.vae.z_channels, hw, hw), jnp.float32)
         vae_q = vae_params["quantize"]
 
         for st, step in zip(self.statics, self._steps):
-            x, ck, cv, f_hat, key = step(
-                params, vae_q, x, cond_BD, mod, lvl_pos, ck, cv, f_hat, key)
+            x, cache, f_hat, key = step(
+                params, vae_q, x, cond_BD, mod, lvl_pos, cache, f_hat, key)
             if x is not None:
                 x = x.astype(self.compute_dtype)
         if return_fhat:

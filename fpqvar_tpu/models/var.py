@@ -95,11 +95,6 @@ MAX_SCALE_MUL = math.log(100.0)
 # Block forward
 # ---------------------------------------------------------------------------
 
-class KVUpdate(NamedTuple):
-    k: Array
-    v: Array
-
-
 def _attention(
     q: Array, k: Array, v: Array, attn_bias: Optional[Array]
 ) -> Array:
@@ -122,12 +117,13 @@ def block_forward(
     mod: Array,                    # [6, B, 1, C] (gamma1,gamma2,s1,s2,b1,b2)
     qrt,                           # QuantRuntime or None
     cfg: VARConfig,
-    cache_k: Optional[Array] = None,   # [B, H, L, c] or None (training)
-    cache_v: Optional[Array] = None,
+    cache: Optional[Dict[str, Array]] = None,
+    # dense cache: {"k","v"} [B,H,L,c]; packed: {"kc","vc"} int8 codes +
+    # {"ks","vs"} [B,H,L,1] f32 scales (see QuantRuntime.kv_codec)
     cur: int = 0,                  # static: tokens already cached
     attn_bias: Optional[Array] = None,
     capture: bool = False,
-) -> Tuple[Array, Optional[KVUpdate], Optional[Dict[str, Array]]]:
+) -> Tuple[Array, Optional[Dict[str, Array]], Optional[Dict[str, Array]]]:
     """One AdaLNSelfAttn block (`basic_var.py:253-269`).
 
     Returns (new x, updated (k, v) cache when caching, activation taps when
@@ -170,23 +166,48 @@ def block_forward(
         k = _l2norm(k)
 
     kv_update = None
-    if cache_k is not None:
-        kv_q = qrt.kv_q if qrt is not None else None
-        if kv_q is not None and qrt.kv_mode == "reference" and cur > 0:
-            # re-fake-quantize the whole existing cache before appending the
-            # raw new tokens (`basic_var.py:138-147,186-209`)
-            cache_k = cache_k.at[:, :, :cur].set(kv_q(cache_k[:, :, :cur]))
-            cache_v = cache_v.at[:, :, :cur].set(kv_q(cache_v[:, :, :cur]))
-        k_store, v_store = k, v
-        if kv_q is not None and qrt.kv_mode == "store":
-            k_store, v_store = kv_q(k), kv_q(v)
-        cache_k = jax.lax.dynamic_update_slice(
-            cache_k, k_store.astype(cache_k.dtype), (0, 0, cur, 0))
-        cache_v = jax.lax.dynamic_update_slice(
-            cache_v, v_store.astype(cache_v.dtype), (0, 0, cur, 0))
-        kv_update = KVUpdate(cache_k, cache_v)
-        k_all = cache_k[:, :, : cur + l].astype(q.dtype)
-        v_all = cache_v[:, :, : cur + l].astype(q.dtype)
+    if cache is not None:
+        codec = qrt.kv_codec if qrt is not None else None
+        if codec is not None:
+            # packed KV cache: quantize-once-on-append, codes + per-token
+            # scales in HBM (the TPU-native replacement for the reference's
+            # repeated cache re-fake-quantization)
+            kc, ks = codec.encode(k)
+            vc, vs = codec.encode(v)
+            upd = lambda buf, val: jax.lax.dynamic_update_slice(  # noqa: E731
+                buf, val.astype(buf.dtype), (0, 0, cur, 0))
+            cache = {
+                "kc": upd(cache["kc"], kc), "ks": upd(cache["ks"], ks),
+                "vc": upd(cache["vc"], vc), "vs": upd(cache["vs"], vs),
+            }
+            kv_update = cache
+            end = cur + l
+            k_all = codec.decode(
+                cache["kc"][:, :, :end], cache["ks"][:, :, :end]
+            ).astype(q.dtype)
+            v_all = codec.decode(
+                cache["vc"][:, :, :end], cache["vs"][:, :, :end]
+            ).astype(q.dtype)
+        else:
+            cache_k, cache_v = cache["k"], cache["v"]
+            kv_q = qrt.kv_q if qrt is not None else None
+            if kv_q is not None and qrt.kv_mode == "reference" and cur > 0:
+                # re-fake-quantize the whole existing cache before appending
+                # the raw new tokens (`basic_var.py:138-147,186-209`)
+                cache_k = cache_k.at[:, :, :cur].set(
+                    kv_q(cache_k[:, :, :cur]))
+                cache_v = cache_v.at[:, :, :cur].set(
+                    kv_q(cache_v[:, :, :cur]))
+            k_store, v_store = k, v
+            if kv_q is not None and qrt.kv_mode == "store":
+                k_store, v_store = kv_q(k), kv_q(v)
+            cache_k = jax.lax.dynamic_update_slice(
+                cache_k, k_store.astype(cache_k.dtype), (0, 0, cur, 0))
+            cache_v = jax.lax.dynamic_update_slice(
+                cache_v, v_store.astype(cache_v.dtype), (0, 0, cur, 0))
+            kv_update = {"k": cache_k, "v": cache_v}
+            k_all = cache_k[:, :, : cur + l].astype(q.dtype)
+            v_all = cache_v[:, :, : cur + l].astype(q.dtype)
     else:
         k_all, v_all = k, v
 
@@ -267,7 +288,7 @@ def run_blocks(
     qrt,
     x: Array,
     mod: Array,                       # [depth, 6, B, 1, C]
-    cache: Optional[Tuple[Array, Array]] = None,   # ([d,B,H,L,c], ...)
+    cache: Optional[Dict[str, Array]] = None,   # leaves lead with depth
     cur: int = 0,
     attn_bias: Optional[Array] = None,
     capture: bool = False,
@@ -279,41 +300,42 @@ def run_blocks(
         # Mixed-format configs (`quant_utils.py:1256-1432`) need per-block
         # quantizers -> unrolled python loop (still jit-compatible).
         d = cfg.depth
-        new_k, new_v, taps_l = [], [], []
+        new_caches, taps_l = [], []
         for i in range(d):
             bp = jax.tree_util.tree_map(lambda a: a[i], blocks)
             qrt_i = qrt.for_block(i)
-            ck = cache[0][i] if cache is not None else None
-            cv = cache[1][i] if cache is not None else None
+            ci = (jax.tree_util.tree_map(lambda a: a[i], cache)
+                  if cache is not None else None)
             x, upd, taps = block_forward(
-                x, bp, mod[i], qrt_i, cfg, ck, cv, cur, attn_bias, capture)
+                x, bp, mod[i], qrt_i, cfg, ci, cur, attn_bias, capture)
             if upd is not None:
-                new_k.append(upd.k)
-                new_v.append(upd.v)
+                new_caches.append(upd)
             if capture:
                 taps_l.append(taps)
         taps_out = (jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *taps_l)
                     if capture else None)
         if cache is not None:
-            return x, (jnp.stack(new_k), jnp.stack(new_v)), taps_out
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *new_caches)
+            return x, stacked, taps_out
         return x, None, taps_out
 
     def body(carry, xs):
         xc = carry
         if cache is not None:
-            bp, m, ck, cv = xs
-            xc, upd, taps = block_forward(xc, bp, m, qrt, cfg, ck, cv, cur,
+            bp, m, ci = xs
+            xc, upd, taps = block_forward(xc, bp, m, qrt, cfg, ci, cur,
                                           attn_bias, capture)
-            return xc, ((upd.k, upd.v), taps)
+            return xc, (upd, taps)
         bp, m = xs
-        xc, _, taps = block_forward(xc, bp, m, qrt, cfg, None, None, cur,
+        xc, _, taps = block_forward(xc, bp, m, qrt, cfg, None, cur,
                                     attn_bias, capture)
         return xc, (None, taps)
 
     if cache is not None:
-        x, ((ks, vs), taps) = jax.lax.scan(
-            body, x, (blocks, mod, cache[0], cache[1]))
-        return x, (ks, vs), taps
+        x, (new_cache, taps) = jax.lax.scan(
+            body, x, (blocks, mod, cache))
+        return x, new_cache, taps
     x, (_, taps) = jax.lax.scan(body, x, (blocks, mod))
     return x, None, taps
 
@@ -378,9 +400,22 @@ class GenStatics:
         return out
 
 
-def init_kv_cache(cfg: VARConfig, batch: int, dtype=jnp.bfloat16):
+def init_kv_cache(cfg: VARConfig, batch: int, dtype=jnp.bfloat16,
+                  kv_codec=None):
+    """Preallocated per-scale KV cache.  Dense: bf16 {"k","v"}.  With a
+    packed codec: int8 code arrays + f32 per-token scales (2-4x less HBM —
+    the design SURVEY.md §2.2 calls for; the reference re-quantizes a dense
+    fp16 cache every step instead)."""
     shape = (cfg.depth, batch, cfg.heads, cfg.L, cfg.head_dim)
-    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+    if kv_codec is None:
+        return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    sshape = shape[:-1] + (1,)
+    return {
+        "kc": jnp.zeros(shape, jnp.int8),
+        "vc": jnp.zeros(shape, jnp.int8),
+        "ks": jnp.zeros(sshape, jnp.float32),
+        "vs": jnp.zeros(sshape, jnp.float32),
+    }
 
 
 def scale_step(
@@ -394,7 +429,7 @@ def scale_step(
     cond_BD: Array,           # [2B, C]
     mod: Array,               # [depth, 6, 2B, 1, C]
     lvl_pos: Array,           # [1, L, C]
-    cache: Tuple[Array, Array],
+    cache: Dict[str, Array],
     f_hat: Array,             # [B, Cvae, pn_last, pn_last]
     key,
 ):

@@ -45,7 +45,8 @@ def capture_generation(
     b = label_B.shape[0]
     key = jax.random.fold_in(key, 0)
     cond_BD, mod, lvl_pos, x = V.prepare_generation(params, cfg, label_B)
-    cache = V.init_kv_cache(cfg, 2 * b, jnp.float32)
+    cache = V.init_kv_cache(cfg, 2 * b, jnp.float32,
+        kv_codec=qrt.kv_codec if qrt is not None else None)
     hw = cfg.patch_nums[-1]
     f_hat = jnp.zeros((b, cfg.vae.z_channels, hw, hw), jnp.float32)
     vae_q = vae_params["quantize"]

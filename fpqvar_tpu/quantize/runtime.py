@@ -28,11 +28,47 @@ LAYER_KINDS = ("mat_qkv", "proj", "fc1", "fc2")
 
 
 @dataclass(frozen=True)
+class KVCodec:
+    """Packed KV-cache codec: per-token absmax scaling onto a value grid,
+    codes stored int8.  decode(encode(x)) is bit-identical to the fake
+    per-token grid quantizer, so packed and fake "store"-mode caches agree
+    exactly (tested)."""
+
+    fmt: str
+    encode: Callable       # x [...,c] -> (codes int8, scales f32 [...,1])
+    decode: Callable       # (codes, scales) -> values
+
+
+def make_kv_codec(fmt: str) -> KVCodec:
+    import numpy as np
+
+    from fpqvar_tpu.ops import grids as G
+    from fpqvar_tpu.ops import packing as P
+
+    grid = G.GRIDS[fmt]
+    gmax = float(np.max(np.abs(grid)))
+    gj = jnp.asarray(grid)
+
+    def encode(x):
+        xf = x.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+        scales = jnp.where(amax > 0, amax / gmax, 1.0)
+        codes = P.encode_to_grid(xf / scales, grid).astype(jnp.int8)
+        return codes, scales
+
+    def decode(codes, scales):
+        return jnp.take(gj, codes.astype(jnp.int32)) * scales
+
+    return KVCodec(fmt, encode, decode)
+
+
+@dataclass(frozen=True)
 class QuantRuntime:
     act_q: Dict[str, Optional[Callable]] = field(default_factory=dict)
     per_block_act_q: Optional[List[Dict[str, Optional[Callable]]]] = None
     kv_q: Optional[Callable] = None
     kv_mode: str = "store"
+    kv_codec: Optional[KVCodec] = None
     rotation_block: Optional[jnp.ndarray] = None
     transform: bool = False
 
@@ -96,14 +132,25 @@ def build_runtime(qcfg: QuantConfig, depth: Optional[int] = None) -> QuantRuntim
                 per_block.append(d)
 
     kv_q = None
+    kv_codec = None
     if qcfg.enabled and qcfg.kv_bit:
-        kv_q = lambda t: Q.fake_quant_kv(t, qcfg)  # noqa: E731
+        if qcfg.kv_backend == "packed":
+            fmt = qcfg.resolved_kv_format()
+            if fmt == "int_sym":
+                from fpqvar_tpu.ops.grids import int_grid
+
+                raise NotImplementedError(
+                    "packed int KV not wired; use a grid kv_format")
+            kv_codec = make_kv_codec(fmt)
+        else:
+            kv_q = lambda t: Q.fake_quant_kv(t, qcfg)  # noqa: E731
 
     return QuantRuntime(
         act_q=act_q,
         per_block_act_q=per_block,
         kv_q=kv_q,
         kv_mode=qcfg.kv_mode,
+        kv_codec=kv_codec,
         rotation_block=rotation,
         transform=qcfg.transform,
     )

@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""FP-format search CLI (reference `search/search_fp4_format.py:783-860`):
+per-block (weight, activation) format grid search over calibration data,
+emitting optimal_quantization_formats_<kind>.json."""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--depth", type=int, default=30)
+    p.add_argument("--resolution", type=int, default=256, choices=[256, 512])
+    p.add_argument("--var-ckpt", type=str, default=None)
+    p.add_argument("--calib", type=str, required=True)
+    p.add_argument("--kind", type=str, default="fc1",
+                   choices=["mat_qkv", "proj", "fc1", "fc2"])
+    p.add_argument("--bits", type=int, default=4, choices=[4, 6])
+    p.add_argument("--max-samples", type=int, default=1000)
+    p.add_argument("--out", type=str, default=None)
+    args = p.parse_args()
+
+    import jax
+    import numpy as np
+
+    from fpqvar_tpu.config import (
+        VARConfig, VQVAEConfig, PATCH_NUMS_256, PATCH_NUMS_512)
+    from fpqvar_tpu.models.var import init_var_params
+    from fpqvar_tpu.quantize.calibration import CalibrationStore
+    from fpqvar_tpu.quantize import search as S
+    from fpqvar_tpu.utils import checkpoint as C
+
+    pns = PATCH_NUMS_512 if args.resolution == 512 else PATCH_NUMS_256
+    cfg = VARConfig(depth=args.depth, shared_aln=(args.resolution == 512),
+                    patch_nums=pns, vae=VQVAEConfig(patch_nums=pns))
+    if args.var_ckpt:
+        var_p = C.convert_var_state_dict(
+            C.load_torch_state_dict(args.var_ckpt), cfg)
+    else:
+        print("[warn] random init (smoke-test mode)", file=sys.stderr)
+        var_p = init_var_params(jax.random.PRNGKey(0), cfg)
+
+    weights = np.asarray(var_p["blocks"][f"{args.kind}_w"], np.float32)
+    store = CalibrationStore(args.calib)
+    space = S.FP4_SPACE if args.bits == 4 else S.FP6_SPACE
+    results = S.search_formats(store, weights, args.kind, space=space,
+                               max_samples=args.max_samples)
+    out = args.out or f"optimal_quantization_formats_{args.kind}.json"
+    S.save_formats_json(out, results)
+    print(f"wrote {out}")
+    for r in results:
+        print(r)
+
+
+if __name__ == "__main__":
+    main()

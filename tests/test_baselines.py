@@ -1,0 +1,51 @@
+"""Baseline quantizer zoo tests."""
+import jax.numpy as jnp
+import numpy as np
+
+from fpqvar_tpu.quantize import baselines as B
+
+
+def test_du_quantizer_levels():
+    # inner region values land on multiples of s1 * scale
+    x = np.zeros(128, np.float32)
+    x[0] = 3.0    # absmax -> scale = 1
+    x[1] = 0.322  # c=1.61, m=5 -> s1=0.322 -> exact level
+    x[2] = -0.161  # rounds to 0 or +-0.322 boundary
+    out = np.asarray(B.du_quantizer(jnp.asarray(x)))
+    assert abs(out[0] - 3.0) < 1e-6
+    assert abs(out[1] - 0.322) < 1e-5
+    assert not np.any(np.isnan(out))
+
+
+def test_du_per_token_runs():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(4, 128)), jnp.float32)
+    out = B.du_quantizer(x, granularity="per_token")
+    assert out.shape == x.shape
+    assert not bool(jnp.any(jnp.isnan(out)))
+
+
+def test_flint_grid_snap():
+    x = np.zeros((1, 128), np.float32)
+    x[0, 0] = 10.0   # scale 1
+    x[0, 1] = 0.7    # nearest flint value 0.625
+    out = np.asarray(B.flint_quant(jnp.asarray(x)))
+    assert out[0, 0] == 10.0
+    assert abs(out[0, 1] - 0.625) < 1e-6
+
+
+def test_clipping_sweep_monotone_keys():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(64, 128)).astype(np.float32)
+    w = rng.normal(size=(32, 128)).astype(np.float32)
+    res = B.clipping_strength_sweep(x, w, strengths=(0.6, 0.8, 1.0))
+    assert set(res) == {0.6, 0.8, 1.0}
+    assert all(v >= 0 for v in res.values())
+
+
+def test_compare_baselines_returns_all():
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(16, 256)).astype(np.float32)
+    res = B.compare_baselines(x)
+    assert set(res) == set(B.BASELINES)
+    assert all(np.isfinite(v) for v in res.values())

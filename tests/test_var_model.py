@@ -176,3 +176,57 @@ def test_generation_deterministic_given_key(tiny_model):
     a = gen.generate(var_p, vae_p, jnp.array([3]), jax.random.PRNGKey(9))
     b = gen.generate(var_p, vae_p, jnp.array([3]), jax.random.PRNGKey(9))
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_shared_aln_generation():
+    """512-model path: shared SiLU->SharedAdaLin + per-block ada_gss
+    (`models/var.py:85`, `basic_var.py:244-245,255-256`)."""
+    cfg = VARConfig(
+        depth=2, embed_dim=128, num_heads=2, patch_nums=(1, 2, 3),
+        shared_aln=True,
+        vae=VQVAEConfig(vocab_size=64, z_channels=8, ch=16, ch_mult=(1, 2),
+                        num_res_blocks=1, patch_nums=(1, 2, 3)))
+    vae_p, var_p = build_vae_var(jax.random.PRNGKey(0), cfg)
+    assert "shared_ada_lin" in var_p and "ada_gss" in var_p["blocks"]
+    gen = VARGenerator(cfg, QuantConfig())
+    imgs = gen.generate(var_p, vae_p, jnp.array([1, 2]), jax.random.PRNGKey(3))
+    assert imgs.shape == (2, 3, 6, 6)
+    assert not bool(jnp.isnan(imgs).any())
+
+    # quantized shared-aln path too
+    qcfg = fpqvar_w4a4().replace(transform=False)
+    qp = quantize_var_params(var_p, cfg, qcfg)
+    imgs2 = VARGenerator(cfg, qcfg).generate(
+        qp, vae_p, jnp.array([1, 2]), jax.random.PRNGKey(3))
+    assert not bool(jnp.isnan(imgs2).any())
+
+
+def test_packed_kv_cache_matches_fake_store(tiny_model):
+    """int8-code packed KV cache must reproduce the fake 'store'-mode cache
+    bit-exactly (same per-token grid quantization math)."""
+    vae_p, var_p = tiny_model
+    base = fpqvar_w4a4().replace(transform=False, kv_bit=6,
+                                 kv_mode="store")
+    fake = base
+    packed = base.replace(kv_backend="packed")
+    key = jax.random.PRNGKey(21)
+    qp = quantize_var_params(var_p, TINY, fake)
+    img_fake = VARGenerator(TINY, fake).generate(
+        qp, vae_p, jnp.array([3, 5]), key)
+    img_packed = VARGenerator(TINY, packed).generate(
+        qp, vae_p, jnp.array([3, 5]), key)
+    np.testing.assert_array_equal(np.asarray(img_fake),
+                                  np.asarray(img_packed))
+
+
+def test_fused_equals_stepwise_generation(tiny_model):
+    """The single-program fused decode must produce identical images to the
+    per-scale-step path (same keys, same math, one dispatch)."""
+    vae_p, var_p = tiny_model
+    key = jax.random.PRNGKey(33)
+    lab = jnp.array([1, 4])
+    g_step = VARGenerator(TINY, QuantConfig(), fuse_steps=False)
+    g_fused = VARGenerator(TINY, QuantConfig(), fuse_steps=True)
+    a = g_step.generate(var_p, vae_p, lab, key)
+    b = g_fused.generate(var_p, vae_p, lab, key)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
