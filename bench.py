@@ -79,13 +79,26 @@ def main():
 
     cfg, batch = build(args.preset)
     key = jax.random.PRNGKey(0)
-    var_p = init_var_params(key, cfg, dtype=jnp.bfloat16)
-    vae_p = init_vqvae_params(jax.random.PRNGKey(1), cfg.vae)
-    vae_p = jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
-        vae_p)
+    # init on host CPU (avoids pulling hundreds of MB back from the device
+    # for the offline quantization transform), then place on the accelerator
+    # once.
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        var_p = init_var_params(key, cfg, dtype=jnp.bfloat16)
+        vae_p = init_vqvae_params(jax.random.PRNGKey(1), cfg.vae)
+        vae_p = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+            vae_p)
+    dev = jax.devices()[0]
+    vae_p = jax.device_put(vae_p, dev)
     label = jnp.arange(batch, dtype=jnp.int32) % cfg.num_classes
     gen_cfg = GenerateConfig()
+
+    # fp4 packed transform first (host-side), then move both param sets to
+    # the device once
+    qcfg = fpqvar_w4a4().replace(backend="packed", transform=False)
+    qp = quantize_var_params(var_p, cfg, qcfg)
+    var_p = jax.device_put(var_p, dev)
 
     # bf16 baseline
     gen_bf16 = VARGenerator(cfg, QuantConfig(), gen_cfg)
@@ -95,8 +108,6 @@ def main():
 
     # fp4 packed (rotation + GALT identity vectors; rotation is the
     # perf-relevant online op, GALT fold is free at runtime)
-    qcfg = fpqvar_w4a4().replace(backend="packed", transform=False)
-    qp = quantize_var_params(var_p, cfg, qcfg)
     gen_fp4 = VARGenerator(cfg, qcfg, gen_cfg)
     ips_fp4 = time_generate(gen_fp4, qp, vae_p, label, key, args.rounds)
     print(f"# fp4-packed: {ips_fp4:.3f} images/sec", file=sys.stderr)

@@ -71,9 +71,14 @@ jax.tree_util.register_pytree_node(
 
 def encode_to_grid(x: Array, grid: np.ndarray) -> Array:
     """Nearest-grid code indices (same tie rule as quantizers.snap_to_grid)."""
-    g = jnp.asarray(grid, dtype=x.dtype)
-    mids = (g[1:] + g[:-1]) * 0.5
-    return jnp.searchsorted(mids, x, side="right").astype(jnp.int32)
+    g = np.asarray(grid, dtype=np.float32)
+    mids = ((g[1:] + g[:-1]) * 0.5).tolist()
+    # gather-free, unrolled: index = count of midpoints <= x (same tie rule
+    # as quantizers.snap_to_grid; see its note on TPU lowering costs)
+    idx = jnp.zeros(x.shape, jnp.int32)
+    for m in mids:
+        idx = idx + jnp.where(x >= m, 1, 0).astype(jnp.int32)
+    return idx
 
 
 def pack(x: Array, fmt: str, group_size: int = 128) -> PackedTensor:

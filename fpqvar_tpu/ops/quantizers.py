@@ -49,10 +49,22 @@ def snap_to_grid(x: Array, grid: np.ndarray | Array) -> Array:
     (`models_fp_quant/quant_utils.py:208-229`).  Ties snap to the larger grid
     value (CUDA-kernel semantics, see module docstring).
     """
-    grid = jnp.asarray(grid, dtype=x.dtype)
-    mids = (grid[1:] + grid[:-1]) * 0.5
-    idx = jnp.searchsorted(mids, x, side="right")
-    return jnp.take(grid, idx)
+    g = np.asarray(grid, dtype=np.float32)
+    mids = (g[1:] + g[:-1]) * 0.5
+    deltas = g[1:] - g[:-1]
+    # Gather-free cumulative-delta formulation, unrolled over the (static,
+    # <=62-entry) grid:
+    #   snapped = grid[0] + sum_i deltas[i] * [x >= mids[i]]
+    # (x == mid counts as >= -> snaps to the larger value, the CUDA `<=`
+    # tie rule, quant_kernel.cu:31).  TPU gathers are scalar-slow and both
+    # searchsorted lowerings (binary search / broadcasted extra dim) cost
+    # orders of magnitude more than these |grid|-1 fused scalar-broadcast
+    # compare-multiply-adds, which stay in x's own layout on the VPU.
+    xf = x.astype(jnp.float32)
+    out = jnp.full(x.shape, g[0], jnp.float32)
+    for m, d in zip(mids.tolist(), deltas.tolist()):
+        out = out + jnp.where(xf >= m, jnp.float32(d), jnp.float32(0))
+    return out.astype(x.dtype)
 
 
 def _group_reshape(x: Array, group_size: int):

@@ -67,22 +67,29 @@ def rotate_blocks(blocks: dict, qcfg: QuantConfig) -> dict:
 
 
 def quantize_weights(blocks: dict, qcfg: QuantConfig) -> dict:
+    """Weight quantization; jit-wrapped so the (offline, host-side) transform
+    runs as a few fused programs instead of dozens of eager ops over
+    multi-hundred-MB stacked weights."""
+    import jax
+
     out = dict(blocks)
     if qcfg.backend == "packed":
+        fmt = qcfg.weight_format
+        if fmt not in P.G.GRIDS:
+            raise ValueError(f"packed backend needs a grid format, got {fmt}")
+        pack_j = jax.jit(
+            lambda w: P.pack_stacked(w, fmt, qcfg.group_size))
         for key in _WEIGHT_KEYS:
-            fmt = qcfg.weight_format
-            if fmt not in P.G.GRIDS:
-                raise ValueError(f"packed backend needs a grid format, got {fmt}")
-            out[key] = P.pack_stacked(
-                jnp.asarray(blocks[key], jnp.float32), fmt, qcfg.group_size)
+            out[key] = pack_j(jnp.asarray(blocks[key], jnp.float32))
         return out
     fmt = "int_sym" if qcfg.int_quant else qcfg.weight_format
     wq = Q.make_weight_quantizer(
         fmt, qcfg.w_bit, granularity=qcfg.weight_quant,
         group_size=qcfg.group_size)
+    wq_j = jax.jit(lambda w: wq(w))
     for key in _WEIGHT_KEYS:
         w = blocks[key]
-        out[key] = wq(w.astype(jnp.float32)).astype(w.dtype)
+        out[key] = wq_j(w.astype(jnp.float32)).astype(w.dtype)
     return out
 
 
@@ -93,18 +100,48 @@ def quantize_var_params(
     galt: Optional[Tuple[np.ndarray, np.ndarray]] = None,
 ) -> dict:
     """Full offline pipeline.  ``galt`` = (mat_qkv_best_s, fc1_best_s), each
-    [depth, C]; required when qcfg.transform is set."""
-    out = dict(params)
-    blocks = dict(params["blocks"])
-    if qcfg.transform:
-        if galt is None:
-            raise ValueError("qcfg.transform=True requires GALT vectors")
-        blocks = fold_galt(blocks, *galt)
-    if qcfg.rotate:
-        if not qcfg.block_rotate:
-            raise NotImplementedError("only block rotation is supported")
-        blocks = rotate_blocks(blocks, qcfg)
-    if qcfg.enabled:
-        blocks = quantize_weights(blocks, qcfg)
+    [depth, C]; required when qcfg.transform is set.
+
+    Runs on the host CPU backend regardless of the default device: this is a
+    one-shot offline transform, and tracing its many small ops on a remote
+    TPU costs minutes of compile round-trips for zero benefit.
+    """
+    import jax
+
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    ctx = jax.default_device(cpu) if cpu is not None else _nullcontext()
+    with ctx:
+        out = dict(params)
+        blocks = dict(params["blocks"])
+        blocks = jax.tree_util.tree_map(
+            lambda a: jax.device_put(np.asarray(a), cpu)
+            if cpu is not None else a, blocks)
+        if qcfg.transform:
+            if galt is None:
+                raise ValueError("qcfg.transform=True requires GALT vectors")
+            blocks = fold_galt(blocks, *galt)
+        if qcfg.rotate:
+            if not qcfg.block_rotate:
+                raise NotImplementedError("only block rotation is supported")
+            blocks = rotate_blocks(blocks, qcfg)
+        if qcfg.enabled:
+            blocks = quantize_weights(blocks, qcfg)
+    # Materialize on the DEFAULT device as uncommitted arrays.  Two traps
+    # this avoids: CPU-committed leaves silently pin downstream jits to the
+    # CPU backend, and numpy leaves get re-uploaded to the device on every
+    # jitted call (seconds per call over a remote-TPU link).
+    blocks = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(np.asarray(a)), blocks)
     out["blocks"] = blocks
     return out
+
+
+class _nullcontext:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False

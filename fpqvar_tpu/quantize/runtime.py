@@ -13,6 +13,7 @@ import dataclasses
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -56,8 +57,18 @@ def make_kv_codec(fmt: str) -> KVCodec:
         codes = P.encode_to_grid(xf / scales, grid).astype(jnp.int8)
         return codes, scales
 
+    from fpqvar_tpu.ops.packing import decode_fp4_e2m1, decode_fp6_e2m3
+
+    arith = {"fp_e2": decode_fp4_e2m1, "fp6_e2m3": decode_fp6_e2m3}.get(fmt)
+
     def decode(codes, scales):
-        return jnp.take(gj, codes.astype(jnp.int32)) * scales
+        if arith is not None:
+            # branch-free arithmetic decode — no TPU gather in the hot loop
+            return arith(codes.astype(jnp.int32)) * scales
+        # generic grids: one-hot contraction instead of a gather
+        oh = jax.nn.one_hot(codes.astype(jnp.int32), len(grid),
+                            dtype=scales.dtype)
+        return (oh @ gj.astype(scales.dtype)) * scales
 
     return KVCodec(fmt, encode, decode)
 
