@@ -45,7 +45,8 @@ class VARGenerator:
         self.cfg = cfg
         self.qcfg = qcfg
         self.gen = gen
-        self.qrt = qrt if qrt is not None else build_runtime(qcfg, cfg.depth)
+        self.qrt = (qrt if qrt is not None
+                    else build_runtime(qcfg, cfg.depth, cfg.width))
         self.cache_dtype = cache_dtype
         self.compute_dtype = compute_dtype
         self.statics = V.GenStatics.all_steps(cfg)

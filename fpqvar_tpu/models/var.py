@@ -140,6 +140,7 @@ def block_forward(
     aq = qrt.act_q if qrt is not None else {}
     smooth = qrt is not None and qrt.transform
     rot = qrt.rotation_block if qrt is not None else None
+    rot_full = qrt.rotation_full if qrt is not None else None
 
     # ---- attention branch
     x1 = layernorm_no_affine(x, cfg.norm_eps) * (1.0 + scale1) + shift1
@@ -147,6 +148,8 @@ def block_forward(
         x1 = x1 * bp["mat_qkv_s"].astype(x1.dtype)
     if rot is not None:
         x1 = apply_block_hadamard(x1, rot)
+    elif rot_full is not None:
+        x1 = x1 @ rot_full.astype(x1.dtype)
     if aq.get("mat_qkv") is not None:
         x1 = aq["mat_qkv"](x1)
     taps = {"mat_qkv": x1} if capture else None
@@ -224,6 +227,8 @@ def block_forward(
         x2 = x2 * bp["fc1_s"].astype(x2.dtype)
     if rot is not None:
         x2 = apply_block_hadamard(x2, rot)
+    elif rot_full is not None:
+        x2 = x2 @ rot_full.astype(x2.dtype)
     if aq.get("fc1") is not None:
         x2 = aq["fc1"](x2)
     h = gelu_tanh(linear(x2, bp["fc1_w"], bp["fc1_b"]))

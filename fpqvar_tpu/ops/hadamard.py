@@ -55,6 +55,155 @@ def sylvester_hadamard(n: int) -> np.ndarray:
     return h
 
 
+def _is_prime_power(q: int):
+    """Returns (p, k) with q = p^k for prime p, else None."""
+    for p in range(2, int(q ** 0.5) + 1):
+        if q % p == 0:
+            k = 0
+            while q % p == 0:
+                q //= p
+                k += 1
+            return (p, k) if q == 1 else None
+    return (q, 1) if q > 1 else None
+
+
+def _gf_elements_and_squares(p: int, k: int):
+    """Enumerate GF(p^k) as coefficient tuples and return (elements,
+    index map, set of indices of nonzero squares)."""
+    from itertools import product
+
+    def polmulmod(a, b, m):
+        r = [0] * (2 * k)
+        for i, ai in enumerate(a):
+            if ai:
+                for j, bj in enumerate(b):
+                    r[i + j] = (r[i + j] + ai * bj) % p
+        for i in range(len(r) - 1, k - 1, -1):
+            c = r[i] % p
+            if c:
+                for j in range(k):
+                    r[i - k + j] = (r[i - k + j] - c * m[j]) % p
+                r[i] = 0
+        return tuple(x % p for x in r[:k])
+
+    def divides(cand, poly):
+        d = len(cand) - 1
+        rem = list(poly)
+        for i in range(len(rem) - 1, d - 1, -1):
+            c = rem[i] % p
+            if c:
+                for j in range(d + 1):
+                    rem[i - d + j] = (rem[i - d + j] - c * cand[j]) % p
+        return all(x % p == 0 for x in rem[:d])
+
+    # find an irreducible monic polynomial x^k + m_{k-1}x^{k-1} + ... + m_0
+    irr = None
+    for coeffs in product(range(p), repeat=k):
+        poly = list(coeffs) + [1]           # monic degree k
+        ok = True
+        for d in range(1, k // 2 + 1):
+            for lo in product(range(p), repeat=d):
+                if divides(list(lo) + [1], poly):
+                    ok = False
+                    break
+            if not ok:
+                break
+        if ok:
+            irr = list(coeffs)
+            break
+    assert irr is not None
+
+    elems = [tuple(c) for c in product(range(p), repeat=k)]
+    index = {e: i for i, e in enumerate(elems)}
+    squares = set()
+    for e in elems:
+        if any(e):
+            squares.add(index[polmulmod(e, e, irr)])
+    return elems, index, squares
+
+
+def _quadratic_character_matrix(q: int) -> np.ndarray:
+    """chi(a - b) over GF(q): +1 nonzero square, -1 nonsquare, 0 zero."""
+    p, k = _is_prime_power(q)
+    if k == 1:
+        chi = np.full(q, -1.0)
+        chi[list({(x * x) % q for x in range(1, q)})] = 1.0
+        chi[0] = 0.0
+        idx = (np.arange(q)[:, None] - np.arange(q)[None, :]) % q
+        return chi[idx]
+    elems, index, squares = _gf_elements_and_squares(p, k)
+    arr = np.array(elems)
+    out = np.zeros((q, q))
+    for i in range(q):
+        diff = (arr[i] - arr) % p
+        for j in range(q):
+            d = tuple(int(v) for v in diff[j])
+            if not any(d):
+                out[i, j] = 0.0
+            else:
+                out[i, j] = 1.0 if index[d] in squares else -1.0
+    return out
+
+
+def paley_hadamard(n: int) -> np.ndarray:
+    """Hadamard matrix of order n via the Paley constructions.
+
+    Paley I: n = q + 1, q prime power, q % 4 == 3.
+    Paley II: n = 2(q + 1), q prime power, q % 4 == 1.
+    Together with Sylvester doubling this generates every base order the
+    reference hard-codes as tables that a VAR channel size can require
+    (12, 20, 28, 36, 40, 52, 60, 108, 140 — `hadamard_utils.py:7-60`);
+    orders 156/172 (Williamson-type, llama-specific) are unsupported.
+    """
+    q = n - 1
+    pp = _is_prime_power(q)
+    if pp and q % 4 == 3:
+        qmat = _quadratic_character_matrix(q)
+        # H = I + S with S = [[0, 1^T], [-1, Q]] skew (q = 3 mod 4 makes the
+        # Jacobsthal matrix Q skew-symmetric)
+        h = np.ones((n, n))
+        h[1:, 0] = -1.0
+        h[1:, 1:] = qmat + np.eye(q)
+        return h
+    if n % 2 == 0:
+        q = n // 2 - 1
+        pp = _is_prime_power(q)
+        if pp and q % 4 == 1:
+            qmat = _quadratic_character_matrix(q)
+            s = np.zeros((q + 1, q + 1))
+            s[0, 1:] = 1.0
+            s[1:, 0] = 1.0
+            s[1:, 1:] = qmat
+            a = np.array([[1.0, 1.0], [1.0, -1.0]])
+            b = np.array([[1.0, -1.0], [-1.0, -1.0]])
+            h = np.kron(s, a) + np.kron(np.eye(q + 1), b)
+            return h
+    raise ValueError(f"no Paley construction for order {n}")
+
+
+@lru_cache(maxsize=None)
+def hadamard_matrix(n: int) -> np.ndarray:
+    """Hadamard matrix of any supported order: Sylvester for powers of two,
+    otherwise a Paley base times Sylvester doubling (replaces the
+    reference's hard-coded get_hadK tables)."""
+    if is_pow2(n):
+        return sylvester_hadamard(n)
+    two = 1
+    while two <= n:
+        if n % two == 0:
+            base = n // two
+            try:
+                bh = paley_hadamard(base)
+            except ValueError:
+                bh = None
+            if bh is not None:
+                h = np.kron(sylvester_hadamard(two), bh)
+                assert np.allclose(h @ h.T, n * np.eye(n)), n
+                return h
+        two *= 2
+    raise ValueError(f"no Hadamard construction available for order {n}")
+
+
 def torch_signs(size: int, seed: int) -> np.ndarray:
     """Sign vector identical to the reference's torch-RNG draw."""
     if size == 128 and seed == 42:
@@ -76,10 +225,13 @@ def torch_signs(size: int, seed: int) -> np.ndarray:
 def random_hadamard_matrix(size: int, seed: int = 42) -> np.ndarray:
     """``diag(signs) @ H / sqrt(n)`` — orthogonal randomized Hadamard.
 
-    Equivalent to `hadamard_utils.py:92-99` for power-of-two sizes.
+    Equivalent to `hadamard_utils.py:92-99`; non-power-of-two sizes use the
+    Paley/Sylvester generator (hadamard_matrix) in place of the reference's
+    hard-coded had-K tables, so the matrix is a valid randomized Hadamard
+    but not bit-identical to the reference's table-based one.
     """
     s = torch_signs(size, seed)
-    return (s[:, None] * sylvester_hadamard(size)) / np.sqrt(size)
+    return (s[:, None] * hadamard_matrix(size)) / np.sqrt(size)
 
 
 def block_hadamard_block(block_size: int = 128, seed: int = 42) -> np.ndarray:

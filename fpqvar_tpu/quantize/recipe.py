@@ -54,15 +54,23 @@ def fold_galt(
 
 
 def rotate_blocks(blocks: dict, qcfg: QuantConfig) -> dict:
-    """Offline weight rotation W <- W @ block_diag(Q_b,...) in float64."""
-    qb = H.block_hadamard_block(qcfg.rotation_block, qcfg.rotation_seed)
+    """Offline weight rotation W <- W @ Q in float64 (block-diagonal or
+    full-size randomized Hadamard, `rotation_utils.py:211-240`)."""
     out = dict(blocks)
+    if qcfg.block_rotate:
+        qb = H.block_hadamard_block(qcfg.rotation_block, qcfg.rotation_seed)
+        for key in _ROTATED_KEYS:
+            w = np.asarray(blocks[key], dtype=np.float64)  # [depth, out, in]
+            d, o, i = w.shape
+            wr = (w.reshape(d, o, i // qb.shape[0], qb.shape[0]) @ qb
+                  ).reshape(d, o, i)
+            out[key] = jnp.asarray(wr, dtype=blocks[key].dtype)
+        return out
+    width = blocks[_ROTATED_KEYS[0]].shape[-1]
+    qf = H.random_hadamard_matrix(width, qcfg.rotation_seed)
     for key in _ROTATED_KEYS:
-        w = np.asarray(blocks[key], dtype=np.float64)   # [depth, out, in]
-        d, o, i = w.shape
-        wr = (w.reshape(d, o, i // qb.shape[0], qb.shape[0]) @ qb).reshape(
-            d, o, i)
-        out[key] = jnp.asarray(wr, dtype=blocks[key].dtype)
+        w = np.asarray(blocks[key], dtype=np.float64)
+        out[key] = jnp.asarray(w @ qf, dtype=blocks[key].dtype)
     return out
 
 
@@ -124,8 +132,6 @@ def quantize_var_params(
                 raise ValueError("qcfg.transform=True requires GALT vectors")
             blocks = fold_galt(blocks, *galt)
         if qcfg.rotate:
-            if not qcfg.block_rotate:
-                raise NotImplementedError("only block rotation is supported")
             blocks = rotate_blocks(blocks, qcfg)
         if qcfg.enabled:
             blocks = quantize_weights(blocks, qcfg)

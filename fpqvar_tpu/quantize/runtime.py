@@ -80,7 +80,8 @@ class QuantRuntime:
     kv_q: Optional[Callable] = None
     kv_mode: str = "store"
     kv_codec: Optional[KVCodec] = None
-    rotation_block: Optional[jnp.ndarray] = None
+    rotation_block: Optional[jnp.ndarray] = None   # 128x128 block rotation
+    rotation_full: Optional[jnp.ndarray] = None    # dense CxC rotation
     transform: bool = False
 
     def for_block(self, i: int) -> "QuantRuntime":
@@ -107,18 +108,24 @@ def _act_quantizer_for(qcfg: QuantConfig, fmt_name: str, kind: str):
         fmt_name, qcfg.a_bit, granularity=gran, group_size=qcfg.group_size)
 
 
-def build_runtime(qcfg: QuantConfig, depth: Optional[int] = None) -> QuantRuntime:
-    """Resolve a :class:`QuantConfig` into runtime callables."""
+def build_runtime(qcfg: QuantConfig, depth: Optional[int] = None,
+                  width: Optional[int] = None) -> QuantRuntime:
+    """Resolve a :class:`QuantConfig` into runtime callables.  ``width`` is
+    required for full-size (non-block) rotation."""
     rotation = None
+    rotation_full = None
     if qcfg.rotate:
-        if not qcfg.block_rotate:
-            raise NotImplementedError(
-                "full-size (non-block) rotation needs the had-K factored "
-                "matrices; the shipped recipe uses block rotation "
-                "(run.sh, --block_rotate)")
-        rotation = jnp.asarray(
-            H.block_hadamard_block(qcfg.rotation_block, qcfg.rotation_seed),
-            dtype=jnp.float32)
+        if qcfg.block_rotate:
+            rotation = jnp.asarray(
+                H.block_hadamard_block(qcfg.rotation_block,
+                                       qcfg.rotation_seed),
+                dtype=jnp.float32)
+        else:
+            if width is None:
+                raise ValueError("width required for full-size rotation")
+            rotation_full = jnp.asarray(
+                H.random_hadamard_matrix(width, qcfg.rotation_seed),
+                dtype=jnp.float32)
 
     act_q: Dict[str, Optional[Callable]] = {k: None for k in LAYER_KINDS}
     per_block = None
@@ -163,5 +170,6 @@ def build_runtime(qcfg: QuantConfig, depth: Optional[int] = None) -> QuantRuntim
         kv_mode=qcfg.kv_mode,
         kv_codec=kv_codec,
         rotation_block=rotation,
+        rotation_full=rotation_full,
         transform=qcfg.transform,
     )

@@ -50,3 +50,20 @@ def test_rotation_matmul_invariance():
     q = H.block_hadamard_matrix(256, 128, 42)
     lhs = (x @ q) @ (w @ q).T
     np.testing.assert_allclose(lhs, x @ w.T, atol=1e-9)
+
+
+def test_paley_hadamard_orders():
+    """Non-power-of-2 Hadamard generation (replaces the reference's
+    hard-coded had-K tables) for every order a VAR channel size needs."""
+    from fpqvar_tpu.ops.hadamard import hadamard_matrix
+
+    for n in (12, 20, 28, 36, 40, 52, 60, 108, 140, 1920, 2304):
+        h = hadamard_matrix(n)
+        np.testing.assert_allclose(h @ h.T, n * np.eye(n), atol=1e-9,
+                                   err_msg=str(n))
+        assert np.all(np.abs(np.abs(h) - 1.0) < 1e-12)
+
+
+def test_full_size_random_hadamard_orthogonal():
+    q = H.random_hadamard_matrix(1920, seed=42)
+    np.testing.assert_allclose(q @ q.T, np.eye(1920), atol=1e-9)

@@ -230,3 +230,23 @@ def test_fused_equals_stepwise_generation(tiny_model):
     a = g_step.generate(var_p, vae_p, lab, key)
     b = g_fused.generate(var_p, vae_p, lab, key)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_full_size_rotation_invariance():
+    """Non-block (full-size) rotation path: Paley-generated C x C randomized
+    Hadamard; (xQ)(WQ)^T == xW^T through the model forward."""
+    cfg = VARConfig(
+        depth=2, embed_dim=192, num_heads=3, patch_nums=(1, 2),
+        vae=VQVAEConfig(vocab_size=64, z_channels=8, patch_nums=(1, 2)))
+    var_p = V.init_var_params(jax.random.PRNGKey(1), cfg,
+                              adaln_gamma_std=0.02)
+    qcfg = QuantConfig(enabled=False, rotate=True, block_rotate=False)
+    rp = quantize_var_params(var_p, cfg, qcfg)
+    qrt = build_runtime(qcfg, cfg.depth, cfg.width)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 4, cfg.width)) * 0.1
+    cond = jax.random.normal(jax.random.PRNGKey(3), (2, cfg.width)) * 0.1
+    mod = V.compute_modulations(var_p, cfg, cond)
+    base, _, _ = V.run_blocks(var_p, cfg, None, x, mod)
+    rot, _, _ = V.run_blocks(rp, cfg, qrt, x, mod)
+    np.testing.assert_allclose(np.asarray(rot), np.asarray(base),
+                               atol=5e-5, rtol=1e-4)
