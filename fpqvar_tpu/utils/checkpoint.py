@@ -219,7 +219,9 @@ def _flatten(tree, prefix=""):
         out[prefix + "__packed_scales"] = np.asarray(tree.scales)
         out[prefix + "__packed_meta"] = np.frombuffer(
             json.dumps({"fmt": tree.fmt, "shape": list(tree.shape),
-                        "group_size": tree.group_size}).encode(), np.uint8)
+                        "group_size": tree.group_size,
+                        "nibble_packed": tree.nibble_packed}).encode(),
+            np.uint8)
     else:
         out[prefix.rstrip("/")] = np.asarray(tree)
     return out
@@ -255,7 +257,8 @@ def load_params(path: str) -> dict:
         meta = json.loads(bytes(parts["meta"]).decode())
         insert(k.split("/"), PackedTensor(
             parts["codes"], parts["scales"], meta["fmt"],
-            tuple(meta["shape"]), meta["group_size"]))
+            tuple(meta["shape"]), meta["group_size"],
+            meta.get("nibble_packed", False)))
 
     def listify(node):
         if isinstance(node, dict):

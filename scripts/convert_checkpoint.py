@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Checkpoint conversion CLI: upstream torch .pth -> framework npz, with
+optional offline quantization (fold GALT -> rotate -> quantize/pack).
+
+The reference re-applies quantization at every startup
+(`evaluate_fp_quant_transform_rotate.py:87-131`); here the transformed
+(optionally packed) checkpoint is persisted once and loaded directly.
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--depth", type=int, default=30)
+    p.add_argument("--resolution", type=int, default=256, choices=[256, 512])
+    p.add_argument("--var-ckpt", type=str, required=True)
+    p.add_argument("--vae-ckpt", type=str, default=None)
+    p.add_argument("--out", type=str, required=True)
+    p.add_argument("--vae-out", type=str, default=None)
+    # quantization recipe (same flags as scripts/evaluate.py, subset)
+    p.add_argument("--quant", action="store_true")
+    p.add_argument("--backend", type=str, default="packed",
+                   choices=["fake", "packed"])
+    p.add_argument("--w_bit", type=int, default=4)
+    p.add_argument("--weight_fp_type", type=str, default="fp_e2")
+    p.add_argument("--rotate", action="store_true")
+    p.add_argument("--block_rotate", action="store_true")
+    p.add_argument("--transform", action="store_true")
+    p.add_argument("--best-s-dir", type=str, default=None)
+    args = p.parse_args()
+
+    from fpqvar_tpu.config import (
+        QuantConfig, VARConfig, VQVAEConfig, PATCH_NUMS_256, PATCH_NUMS_512)
+    from fpqvar_tpu.quantize import quantize_var_params
+    from fpqvar_tpu.quantize import galt as G
+    from fpqvar_tpu.utils import checkpoint as C
+
+    pns = PATCH_NUMS_512 if args.resolution == 512 else PATCH_NUMS_256
+    cfg = VARConfig(depth=args.depth, shared_aln=(args.resolution == 512),
+                    patch_nums=pns, vae=VQVAEConfig(patch_nums=pns))
+    var_p = C.convert_var_state_dict(
+        C.load_torch_state_dict(args.var_ckpt), cfg)
+
+    if args.quant or args.rotate or args.transform:
+        qcfg = QuantConfig(
+            enabled=args.quant, w_bit=args.w_bit,
+            weight_format=args.weight_fp_type, backend=args.backend,
+            rotate=args.rotate, block_rotate=args.block_rotate,
+            transform=args.transform)
+        galt = None
+        if args.transform:
+            galt = tuple(
+                G.load_reference_best_s(os.path.join(
+                    args.best_s_dir, f"{k}_best_s_fp{args.w_bit}.pt"))
+                if os.path.exists(os.path.join(
+                    args.best_s_dir, f"{k}_best_s_fp{args.w_bit}.pt"))
+                else G.load_best_s(os.path.join(
+                    args.best_s_dir, f"{k}_best_s_fp{args.w_bit}.npz"))
+                for k in ("mat_qkv", "fc1"))
+        var_p = quantize_var_params(var_p, cfg, qcfg, galt=galt)
+
+    C.save_params(args.out, var_p)
+    print(f"wrote {args.out}")
+    if args.vae_ckpt:
+        vae_p = C.convert_vqvae_state_dict(
+            C.load_torch_state_dict(args.vae_ckpt), cfg.vae)
+        vae_out = args.vae_out or args.out.replace(".npz", "_vae.npz")
+        C.save_params(vae_out, vae_p)
+        print(f"wrote {vae_out}")
+
+
+if __name__ == "__main__":
+    main()

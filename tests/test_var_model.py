@@ -250,3 +250,55 @@ def test_full_size_rotation_invariance():
     rot, _, _ = V.run_blocks(rp, cfg, qrt, x, mod)
     np.testing.assert_allclose(np.asarray(rot), np.asarray(base),
                                atol=5e-5, rtol=1e-4)
+
+
+def test_d36_512_full_recipe_shapes():
+    """Abstract evaluation (no compilation) of one generation step of the
+    512x512 d36 model with the full recipe — validates all geometry: L=2240
+    patch schedule, shared AdaLN, rotation at C=2304, KV cache, sampling."""
+    from fpqvar_tpu.config import var_d36_512, GenerateConfig
+    from fpqvar_tpu.quantize import build_runtime
+
+    cfg = var_d36_512()
+    assert cfg.L == 2240 and cfg.width == 2304 and cfg.heads == 36
+    qcfg = fpqvar_w4a4().replace(transform=False, kv_bit=6,
+                                 kv_backend="packed")
+    qrt = build_runtime(qcfg, cfg.depth, cfg.width)
+
+    b = 2
+    st = V.GenStatics.all_steps(cfg)[4]     # pn=6 step
+    params_shapes = jax.eval_shape(
+        lambda k: V.init_var_params(k, cfg), jax.random.PRNGKey(0))
+
+    def step(params, x, cond, mod, lvl_pos, cache, f_hat, key):
+        from fpqvar_tpu.models import vqvae as vqm
+
+        vae_q = {
+            "embedding": jnp.zeros((cfg.vae.vocab_size, cfg.vae.z_channels)),
+            "phi": [
+                {"w": jnp.zeros((cfg.vae.z_channels, cfg.vae.z_channels,
+                                 3, 3)),
+                 "b": jnp.zeros((cfg.vae.z_channels,))}
+                for _ in range(4)],
+        }
+        return V.scale_step(params, vae_q, cfg, qrt, GenerateConfig(), st,
+                            x, cond, mod, lvl_pos, cache, f_hat, key)
+
+    cache = jax.eval_shape(
+        lambda: V.init_kv_cache(cfg, 2 * b, kv_codec=qrt.kv_codec))
+    out = jax.eval_shape(
+        step,
+        params_shapes,
+        jnp.zeros((2 * b, st.l, cfg.width), jnp.bfloat16),
+        jnp.zeros((2 * b, cfg.width), jnp.float32),
+        jnp.zeros((cfg.depth, 6, 2 * b, 1, cfg.width), jnp.bfloat16),
+        jnp.zeros((1, cfg.L, cfg.width), jnp.bfloat16),
+        cache,
+        jnp.zeros((b, cfg.vae.z_channels, 32, 32), jnp.float32),
+        jax.random.PRNGKey(0),
+    )
+    nxt, cache_out, f_hat_out, _ = out
+    assert nxt.shape == (2 * b, cfg.patch_nums[5] ** 2, cfg.width)
+    assert f_hat_out.shape == (b, cfg.vae.z_channels, 32, 32)
+    assert cache_out["kc"].shape == (
+        cfg.depth, 2 * b, cfg.heads, cfg.L, cfg.head_dim)
