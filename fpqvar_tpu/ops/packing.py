@@ -159,11 +159,13 @@ def decode_fp4_e2m1(codes: Array) -> Array:
     i = codes.astype(jnp.int32) - 7
     sign = jnp.sign(i).astype(jnp.float32)
     k = jnp.abs(i)
-    lin = 0.5 * k.astype(jnp.float32)
-    geo = (2.0 + (k & 1).astype(jnp.float32)) * jnp.exp2(
-        (k >> 1).astype(jnp.float32) - 2.0
-    )
-    mag = jnp.where(k < 2, lin, geo)
+    # 8-way magnitude select [0,.5,1,1.5,2,3,4,6] as a binary tree of
+    # where's on the bits of k — no transcendentals, pure VPU selects.
+    b0 = (k & 1) != 0
+    b1 = (k & 2) != 0
+    lo = jnp.where(b1, jnp.where(b0, 1.5, 1.0), jnp.where(b0, 0.5, 0.0))
+    hi = jnp.where(b1, jnp.where(b0, 6.0, 4.0), jnp.where(b0, 3.0, 2.0))
+    mag = jnp.where(k >= 4, hi, lo)
     return sign * mag
 
 
@@ -173,10 +175,9 @@ def decode_fp6_e2m3(codes: Array) -> Array:
     sign = jnp.sign(i).astype(jnp.float32)
     k = jnp.abs(i)  # 0..31 magnitude rank into the positive e2m3 sequence
     # k in 0..15 -> 0.125*k (subnormals + first octave);
-    # k in 16..31 -> (8 + (k & 7)) * 2^((k>>3) - 4).
+    # k in 16..31 -> (8 + (k & 7)) * 2^((k>>3) - 4); the exponent factor is
+    # only ever 0.25 (k<24) or 0.5 (k>=24): a select, not an exp2.
     lin = 0.125 * k.astype(jnp.float32)
-    geo = (8.0 + (k & 7).astype(jnp.float32)) * jnp.exp2(
-        (k >> 3).astype(jnp.float32) - 4.0
-    )
+    geo = (8.0 + (k & 7).astype(jnp.float32)) * jnp.where(k >= 24, 0.5, 0.25)
     mag = jnp.where(k < 16, lin, geo)
     return sign * mag

@@ -90,6 +90,8 @@ def _packed_matmul_2d(
     m = x.shape[0]
     bk = group_size
     decoder = _DECODERS[fmt]
+    if m >= 4 * bm:
+        bm = 4 * bm   # large-M tiles amortize the per-K-tile weight decode
     m_pad = _round_up(max(m, 8), bm) if m > bm else _round_up(max(m, 8), 8)
     bm_eff = min(bm, m_pad)
     if m_pad != m:

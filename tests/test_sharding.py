@@ -74,3 +74,27 @@ def test_dryrun_entrypoints():
     # lower only (full d16 CPU compile+run is exercised by the driver on TPU)
     jax.jit(fn).lower(*args)
     g.dryrun_multichip(8)
+
+
+def test_sharded_generation_matches_single_device(model):
+    """Full generation with dp/tp-sharded params + dp-sharded labels must
+    reproduce single-device images (jit propagates shardings through the
+    fused decode; collectives ride the mesh)."""
+    import jax.numpy as jnp
+
+    from fpqvar_tpu.config import QuantConfig
+    from fpqvar_tpu.models import VARGenerator
+
+    vae_p, var_p = model
+    gen = VARGenerator(CFG, QuantConfig())
+    labels = jnp.arange(4, dtype=jnp.int32)
+    key = jax.random.PRNGKey(5)
+    ref = gen.generate(var_p, vae_p, labels, key)
+
+    mesh = make_mesh(MeshConfig(dp=2, tp=4))
+    sp = shard_params(var_p, mesh)
+    labels_sh = jax.device_put(labels, NamedSharding(mesh, P("dp")))
+    with mesh:
+        out = gen.generate(sp, vae_p, labels_sh, key)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
