@@ -69,6 +69,8 @@ def main():
     ap.add_argument("--preset", default="d30",
                     choices=["tiny", "d16", "d30"])
     ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="override preset batch size")
     args = ap.parse_args()
 
     from fpqvar_tpu.config import GenerateConfig, QuantConfig, fpqvar_w4a4
@@ -78,6 +80,8 @@ def main():
     from fpqvar_tpu.quantize import quantize_var_params
 
     cfg, batch = build(args.preset)
+    if args.batch:
+        batch = args.batch
     key = jax.random.PRNGKey(0)
     # init on host CPU (avoids pulling hundreds of MB back from the device
     # for the offline quantization transform), then place on the accelerator

@@ -1,15 +1,18 @@
 """Fused packed-weight dequant + matmul Pallas kernel.
 
 Replaces the reference's fake-quant pipeline (activation fake-quant -> dense
-fp16 GEMM, `models_fp_quant/quant_utils.py:844-850`): here the weight lives in
-HBM as 4-bit codes (two per byte, group-split layout — see
-fpqvar_tpu.ops.packing) plus per-group scales, and each K-tile is decoded
-in-register (branch-free arithmetic minifloat decode) right before the MXU
+fp16 GEMM, `models_fp_quant/quant_utils.py:844-850`): the weight lives in
+HBM as 4-bit codes (two per byte, row-split layout — see
+fpqvar_tpu.ops.packing) plus per-group scales, and each tile is decoded
+in-register (branch-free select-tree minifloat decode) right before the MXU
 contraction.  Weight HBM traffic is ~4x lower than bf16.
 
-Grid: (M/bm, N/bn, K/bk) with bk == group_size so one K-tile == one scale
-group; the f32 accumulator lives in the revisited output block (standard
-Pallas TPU K-loop accumulation).
+Tiling: grid (M/bm, N/bn, K/bk) with bn = 128*bn_tiles and bk =
+group_size*bk_groups — multi-tile blocks keep the sequential grid shallow
+(VAR-d30 shapes would otherwise run ~900 tiny iterations per matmul).  The
+f32 accumulator lives in the revisited output block; per-group scales are
+applied to the partial product of each K-subgroup (output-column scaling,
+exact because a subgroup spans one scale group).
 """
 from __future__ import annotations
 
@@ -28,79 +31,82 @@ _DECODERS = {
 }
 
 
-def _kernel_fp4(x_ref, codes_ref, scales_ref, out_ref, *, bk, decoder):
-    """codes_ref is a (bn/2, bk) byte tile in row-split layout: byte row r
-    holds weight row r (lo nibble) and row r + bn/2 (hi nibble) of this
-    output tile — unpack is two shifts + a sublane concat."""
-    k = pl.program_id(2)
+def _kernel(x_ref, codes_ref, scales_ref, out_ref, *,
+            group, bkg, bn_tiles, nibble, decoder):
+    kk = pl.program_id(2)
 
-    @pl.when(k == 0)
+    @pl.when(kk == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    bytes_ = codes_ref[:].astype(jnp.int32) & 0xFF      # [bn//2, bk]
-    lo = bytes_ & 0xF
-    hi = (bytes_ >> 4) & 0xF
-    codes = jnp.concatenate([lo, hi], axis=0)           # [bn, bk]
+    bytes_ = codes_ref[:].astype(jnp.int32) & 0xFF
+    if nibble:
+        # row-split layout: byte rows [64t, 64t+64) hold rows [128t, 128t+64)
+        # in the low nibble and [128t+64, 128t+128) in the high nibble
+        parts = []
+        for t in range(bn_tiles):
+            tb = bytes_[64 * t: 64 * (t + 1), :]
+            parts.append(tb & 0xF)
+            parts.append((tb >> 4) & 0xF)
+        codes = jnp.concatenate(parts, axis=0)          # [bn, bk]
+    else:
+        codes = bytes_
     w = decoder(codes)                                  # [bn, bk] grid values
-    acc = jnp.dot(x_ref[:], w.astype(x_ref.dtype).T,
-                  preferred_element_type=jnp.float32)   # [bm, bn]
-    # per-group scale applied on the output columns (bk == one scale group)
-    j = pl.program_id(1)
     bn = w.shape[0]
-    # dynamic sublane loads must be aligned -> select group row k by mask
-    s_all = scales_ref[:, pl.ds(j * bn, bn)]            # [G, bn]
-    row = jax.lax.broadcasted_iota(jnp.int32, s_all.shape, 0)
-    s = jnp.sum(jnp.where(row == k, s_all, 0.0), axis=0, keepdims=True)
-    out_ref[:] += acc * s
-
-
-def _kernel_int8codes(x_ref, codes_ref, scales_ref, out_ref, *, bk, decoder):
-    k = pl.program_id(2)
-
-    @pl.when(k == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
-    codes = codes_ref[:].astype(jnp.int32)              # [bn, bk]
-    w = decoder(codes)
-    acc = jnp.dot(x_ref[:], w.astype(x_ref.dtype).T,
-                  preferred_element_type=jnp.float32)
     j = pl.program_id(1)
-    bn = w.shape[0]
-    # dynamic sublane loads must be aligned -> select group row k by mask
-    s_all = scales_ref[:, pl.ds(j * bn, bn)]            # [G, bn]
-    row = jax.lax.broadcasted_iota(jnp.int32, s_all.shape, 0)
-    s = jnp.sum(jnp.where(row == k, s_all, 0.0), axis=0, keepdims=True)
-    out_ref[:] += acc * s
+    s_cols = scales_ref[:, pl.ds(j * bn, bn)]           # [G_total, bn]
+    g_total = s_cols.shape[0]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (g_total, bn), 0)
+
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for gi in range(bkg):
+        xs = x_ref[:, group * gi: group * (gi + 1)]
+        ws = w[:, group * gi: group * (gi + 1)]
+        part = jnp.dot(xs, ws.astype(xs.dtype).T,
+                       preferred_element_type=jnp.float32)
+        s = jnp.sum(
+            jnp.where(row_ids == kk * bkg + gi, s_cols, 0.0),
+            axis=0, keepdims=True)                      # [1, bn]
+        acc = acc + part * s
+    out_ref[:] += acc
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _pick(total: int, unit: int, options) -> int:
+    for o in options:
+        if (total // unit) % o == 0:
+            return o
+    return 1
+
+
 @functools.partial(jax.jit, static_argnames=(
-    "fmt", "group_size", "n", "k_dim", "nibble", "bm", "bn", "interpret"))
+    "fmt", "group_size", "n", "k_dim", "nibble", "interpret"))
 def _packed_matmul_2d(
-    x, codes, scales, *, fmt, group_size, n, k_dim, nibble,
-    bm=128, bn=128, interpret=False,
+    x, codes, scales, *, fmt, group_size, n, k_dim, nibble, interpret=False,
 ):
     """x [M, K] @ dequant(codes, scales_t).T -> [M, N] (f32).
-    ``scales`` here is TRANSPOSED: [G, N] (G = K/group_size)."""
+    ``scales`` is TRANSPOSED: [G, N] (G = K/group_size)."""
     m = x.shape[0]
-    bk = group_size
     decoder = _DECODERS[fmt]
-    if m >= 4 * bm:
-        bm = 4 * bm   # large-M tiles amortize the per-K-tile weight decode
+    bn_tiles = _pick(n, 128, (4, 3, 2, 1))
+    bn = 128 * bn_tiles
+    bkg = _pick(k_dim, group_size, (5, 4, 3, 2, 1))
+    bk = group_size * bkg
+    # large M-tiles amortize the per-tile weight decode (VPU work comparable
+    # to the MXU dot at bm=512; halved again at bm=1024)
+    bm = 1024 if m >= 1024 else (512 if m >= 512 else 128)
     m_pad = _round_up(max(m, 8), bm) if m > bm else _round_up(max(m, 8), 8)
     bm_eff = min(bm, m_pad)
     if m_pad != m:
         x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
     grid = (m_pad // bm_eff, n // bn, k_dim // bk)
-    kernel = _kernel_fp4 if nibble else _kernel_int8codes
     codes_bn = bn // 2 if nibble else bn
     out = pl.pallas_call(
-        functools.partial(kernel, bk=bk, decoder=decoder),
+        functools.partial(_kernel, group=group_size, bkg=bkg,
+                          bn_tiles=bn_tiles, nibble=nibble, decoder=decoder),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bm_eff, bk), lambda i, j, kk: (i, kk),
@@ -117,8 +123,8 @@ def _packed_matmul_2d(
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * n * k_dim,
-            bytes_accessed=m_pad * k_dim * 2 + n * k_dim // (2 if nibble else 1)
-            + m_pad * n * 4,
+            bytes_accessed=m_pad * k_dim * 2
+            + n * k_dim // (2 if nibble else 1) + m_pad * n * 4,
             transcendentals=0,
         ),
     )(x, codes, scales)
