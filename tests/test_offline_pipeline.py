@@ -117,3 +117,16 @@ def test_full_offline_to_generation(model, store):
     gen = VARGenerator(TINY, qcfg)
     imgs = gen.generate(qp, vae_p, jnp.array([3, 5]), jax.random.PRNGKey(1))
     assert not bool(jnp.isnan(imgs).any())
+
+
+def test_format_search_on_ada_lin(model, store):
+    """The search API covers the AdaLN layer too (reference
+    `search/search_fp_format_ada.py`: format search over saved condition
+    activations against the ada_lin weight)."""
+    from fpqvar_tpu.quantize.calibration import capture_condition
+
+    _, var_p = model
+    cond = capture_condition(var_p, TINY, np.arange(8))   # SiLU'd cond [8, C]
+    ada_w = np.asarray(var_p["blocks"]["ada_lin"]["w"][0])  # [6C, C]
+    wn, an, loss = S.search_formats_for_block(cond, ada_w, S.FP4_SPACE)
+    assert wn in S.FP4_SPACE and an in S.FP4_SPACE and loss >= 0.0
