@@ -28,4 +28,9 @@ from fpqvar_tpu.config import (  # noqa: F401
     QuantConfig,
     VARConfig,
     VQVAEConfig,
+    fpqvar_w4a4,
+    fpqvar_w6a6,
+    var_d16,
+    var_d30,
+    var_d36_512,
 )

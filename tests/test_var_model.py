@@ -302,3 +302,40 @@ def test_d36_512_full_recipe_shapes():
     assert f_hat_out.shape == (b, cfg.vae.z_channels, 32, 32)
     assert cache_out["kc"].shape == (
         cfg.depth, 2 * b, cfg.heads, cfg.L, cfg.head_dim)
+
+
+def test_w8a8_fp8_config(tiny_model):
+    """BASELINE config 2: W8A8 per-group FP8 (e4m3), no rotation/transform."""
+    vae_p, var_p = tiny_model
+    qcfg = QuantConfig(
+        enabled=True, w_bit=8, a_bit=8,
+        weight_quant="per_group", act_quant="per_group",
+        weight_format="fp8_e4m3", act_format="fp8_e4m3",
+        fc2_format="fp8_e4m3")
+    qp = quantize_var_params(var_p, TINY, qcfg)
+    imgs = VARGenerator(TINY, qcfg).generate(
+        qp, vae_p, jnp.array([3, 5]), jax.random.PRNGKey(1))
+    assert not bool(jnp.isnan(imgs).any())
+    # 8-bit should perturb the forward far less than 4-bit
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 4, TINY.width)) * 0.5
+    cond = jax.random.normal(jax.random.PRNGKey(8), (2, TINY.width)) * 0.5
+    mod = V.compute_modulations(var_p, TINY, cond)
+    base, _, _ = V.run_blocks(var_p, TINY, None, x, mod)
+    from fpqvar_tpu.quantize import build_runtime
+    q8, _, _ = V.run_blocks(qp, TINY, build_runtime(qcfg, TINY.depth), x, mod)
+    rel8 = float(jnp.mean(jnp.abs(base - q8)) / jnp.mean(jnp.abs(base)))
+    assert rel8 < 0.02
+
+
+def test_galt_fp6_ste():
+    from fpqvar_tpu.quantize.galt import make_quant_ste
+
+    q4 = make_quant_ste(4)
+    q6 = make_quant_ste(6)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 128))
+    e4 = float(jnp.mean((q4(x) - x) ** 2))
+    e6 = float(jnp.mean((q6(x) - x) ** 2))
+    assert e6 < e4  # 6-bit grid is finer
+    # STE: gradients flow as identity
+    g = jax.grad(lambda v: jnp.sum(q4(v) * 2.0))(x)
+    np.testing.assert_allclose(np.asarray(g), 2.0)
