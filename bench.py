@@ -98,33 +98,43 @@ def main():
     label = jnp.arange(batch, dtype=jnp.int32) % cfg.num_classes
     gen_cfg = GenerateConfig()
 
-    # offline transforms (host-side), then move param sets to the device.
     # Two fp4 execution modes are benchmarked (ARCHITECTURE.md "three
     # tiers"): "fake" = exact fp4 W4A4 values with pre-dequantized bf16
     # weights (the throughput deployment mode on v5e, where nonuniform-grid
     # decode is VPU-bound), and "packed" = int8-coded weights decoded
-    # in-kernel (the memory-capacity mode: 4x less weight HBM).
+    # in-kernel (the memory-capacity mode: 4x less weight HBM).  Offline
+    # transforms run host-side; param sets are measured one at a time and
+    # freed (three d30 sets at once would exhaust HBM).
+    def free(tree):
+        for leaf in jax.tree_util.tree_leaves(tree):
+            if hasattr(leaf, "delete"):
+                leaf.delete()
+
+    var_host = jax.tree_util.tree_map(np.asarray, var_p)
     qcfg_pk = fpqvar_w4a4().replace(backend="packed", transform=False)
-    qp_pk = quantize_var_params(var_p, cfg, qcfg_pk)
     qcfg_fk = fpqvar_w4a4().replace(transform=False)
-    qp_fk = quantize_var_params(var_p, cfg, qcfg_fk)
+
+    var_dev = jax.device_put(var_host, dev)
+    gen_bf16 = VARGenerator(cfg, QuantConfig(), gen_cfg)
+    ips_bf16 = time_generate(gen_bf16, var_dev, vae_p, label, key, args.rounds)
+    print(f"# bf16: {ips_bf16:.3f} images/sec", file=sys.stderr)
+    free(var_dev)
+
+    qp_fk = quantize_var_params(var_host, cfg, qcfg_fk)
     qp_fk = jax.tree_util.tree_map(
         lambda a: a.astype(jnp.bfloat16)
         if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, qp_fk)
-    var_p = jax.device_put(var_p, dev)
-
-    gen_bf16 = VARGenerator(cfg, QuantConfig(), gen_cfg)
-    ips_bf16 = time_generate(gen_bf16, var_p, vae_p, label, key, args.rounds)
-    print(f"# bf16: {ips_bf16:.3f} images/sec", file=sys.stderr)
-
     gen_fk = VARGenerator(cfg, qcfg_fk, gen_cfg)
     ips_fk = time_generate(gen_fk, qp_fk, vae_p, label, key, args.rounds)
     print(f"# fp4-fake(W4A4 bf16-gemm): {ips_fk:.3f} images/sec",
           file=sys.stderr)
+    free(qp_fk)
 
+    qp_pk = quantize_var_params(var_host, cfg, qcfg_pk)
     gen_pk = VARGenerator(cfg, qcfg_pk, gen_cfg)
     ips_pk = time_generate(gen_pk, qp_pk, vae_p, label, key, args.rounds)
     print(f"# fp4-packed: {ips_pk:.3f} images/sec", file=sys.stderr)
+    free(qp_pk)
 
     best_name, ips_fp4 = max((("fake", ips_fk), ("packed", ips_pk)),
                              key=lambda t: t[1])

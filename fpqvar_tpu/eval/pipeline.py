@@ -10,7 +10,6 @@ of the distributed design the single-GPU reference lacks).
 """
 from __future__ import annotations
 
-import json
 import os
 import time
 from typing import Optional, Sequence

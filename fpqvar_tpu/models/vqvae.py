@@ -23,7 +23,7 @@ The bicubic/area interpolations use the torch-parity matrix operators in
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,13 +21,11 @@ replicated — they are tiny next to the four big matmuls.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from fpqvar_tpu.config import MeshConfig, VARConfig
+from fpqvar_tpu.config import MeshConfig
 from fpqvar_tpu.ops.packing import PackedTensor
 
 

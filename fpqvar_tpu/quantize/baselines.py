@@ -11,7 +11,6 @@ from __future__ import annotations
 from functools import partial
 from typing import Dict, Sequence
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -13,7 +13,7 @@ re-stacks its per-label files into exactly this shape,
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp

@@ -18,8 +18,7 @@ the block-rotated runtime; we standardize on block rotation end-to-end.
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -155,8 +155,6 @@ def build_runtime(qcfg: QuantConfig, depth: Optional[int] = None,
         if qcfg.kv_backend == "packed":
             fmt = qcfg.resolved_kv_format()
             if fmt == "int_sym":
-                from fpqvar_tpu.ops.grids import int_grid
-
                 raise NotImplementedError(
                     "packed int KV not wired; use a grid kv_format")
             kv_codec = make_kv_codec(fmt)

@@ -16,7 +16,6 @@ from __future__ import annotations
 import queue
 import threading
 from concurrent.futures import Future
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

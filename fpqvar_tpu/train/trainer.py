@@ -11,7 +11,7 @@ replacing the torch AMP scaler machinery of `utils/amp_sc.py`).
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
