@@ -97,17 +97,18 @@ MAX_SCALE_MUL = math.log(100.0)
 def _attention(
     q: Array, k: Array, v: Array, attn_bias: Optional[Array]
 ) -> Array:
-    """q [B,H,l,c], k/v [B,H,L,c] -> [B,l,H*c]; softmax in f32, scale=1
-    (attn_l2_norm) — `basic_var.py:137-142,211-217`."""
-    b, h, l, c = q.shape
+    """q [B,l,H,c], k/v [B,M,H,c] -> [B,l,H*c]; softmax in f32, scale=1
+    (attn_l2_norm) — `basic_var.py:137-142,211-217`.  Head-minor layouts
+    contract directly (no transposes materialized)."""
+    b, l, h, c = q.shape
     scores = jnp.einsum(
-        "bhlc,bhmc->bhlm", q, k, preferred_element_type=jnp.float32
+        "blhc,bmhc->bhlm", q, k, preferred_element_type=jnp.float32
     )
     if attn_bias is not None:
         scores = scores + attn_bias
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-    out = jnp.einsum("bhlm,bhmc->bhlc", probs, v)
-    return out.transpose(0, 2, 1, 3).reshape(b, l, h * c)
+    out = jnp.einsum("bhlm,bmhc->blhc", probs, v)
+    return out.reshape(b, l, h * c)
 
 
 def block_forward(
@@ -158,58 +159,75 @@ def block_forward(
     )
     qkv = qkv + bias.astype(qkv.dtype)
     qkv = qkv.reshape(b, l, 3, heads, hd)
-    q, k, v = [t.transpose(0, 2, 1, 3) for t in jnp.moveaxis(qkv, 2, 0)]
+    # keep q/k/v in [B, l, H, c] layout end-to-end: the attention einsums
+    # contract directly from it, and the KV cache stores [B, L, H*c] so the
+    # minor dimension is a full 128-lane multiple (a [., ., L, 64] cache
+    # pads 2x on TPU)
+    q, k, v = jnp.moveaxis(qkv, 2, 0)
 
     if cfg.attn_l2_norm:
         scale_mul = jnp.exp(
             jnp.minimum(bp["scale_mul"].astype(jnp.float32), MAX_SCALE_MUL)
-        )  # [1,H,1,1]
+        ).reshape(1, 1, heads, 1)
         q = _l2norm(q) * scale_mul.astype(q.dtype)
         k = _l2norm(k)
 
     kv_update = None
     if cache is not None:
+        # cache layouts: values/codes [B, L, H*c] (full-lane minor dim);
+        # packed scales [B, H, L] (head-major so the padded minor dim is L)
+        end = cur + l
         codec = qrt.kv_codec if qrt is not None else None
         if codec is not None:
-            # packed KV cache: quantize-once-on-append, codes + per-token
-            # scales in HBM (the TPU-native replacement for the reference's
-            # repeated cache re-fake-quantization)
-            kc, ks = codec.encode(k)
+            # packed KV cache: quantize-once-on-append, int8 codes +
+            # per-(token, head) scales in HBM (the TPU-native replacement
+            # for the reference's repeated cache re-fake-quantization)
+            kc, ks = codec.encode(k)          # codes [B,l,H,c], s [B,l,H,1]
             vc, vs = codec.encode(v)
-            upd = lambda buf, val: jax.lax.dynamic_update_slice(  # noqa: E731
-                buf, val.astype(buf.dtype), (0, 0, cur, 0))
+            upd3 = lambda buf, val: jax.lax.dynamic_update_slice(  # noqa: E731
+                buf, val.astype(buf.dtype), (0, cur, 0))
+            upds = lambda buf, s: jax.lax.dynamic_update_slice(  # noqa: E731
+                buf, s[..., 0].transpose(0, 2, 1).astype(buf.dtype),
+                (0, 0, cur))
             cache = {
-                "kc": upd(cache["kc"], kc), "ks": upd(cache["ks"], ks),
-                "vc": upd(cache["vc"], vc), "vs": upd(cache["vs"], vs),
+                "kc": upd3(cache["kc"], kc.reshape(b, l, c)),
+                "vc": upd3(cache["vc"], vc.reshape(b, l, c)),
+                "ks": upds(cache["ks"], ks),
+                "vs": upds(cache["vs"], vs),
             }
             kv_update = cache
-            end = cur + l
-            k_all = codec.decode(
-                cache["kc"][:, :, :end], cache["ks"][:, :, :end]
-            ).astype(q.dtype)
-            v_all = codec.decode(
-                cache["vc"][:, :, :end], cache["vs"][:, :, :end]
-            ).astype(q.dtype)
+
+            def _decode(codes3, scales_hl):
+                codes = codes3[:, :end].reshape(b, end, heads, hd)
+                s = scales_hl[:, :, :end].transpose(0, 2, 1)[..., None]
+                return codec.decode(codes, s).astype(q.dtype)
+
+            k_all = _decode(cache["kc"], cache["ks"])
+            v_all = _decode(cache["vc"], cache["vs"])
         else:
             cache_k, cache_v = cache["k"], cache["v"]
             kv_q = qrt.kv_q if qrt is not None else None
+
+            def _q_merged(buf_slice):
+                # fake KV quantizers operate per [..., head_dim] rows
+                x4 = buf_slice.reshape(b, -1, heads, hd)
+                return kv_q(x4).reshape(buf_slice.shape)
+
             if kv_q is not None and qrt.kv_mode == "reference" and cur > 0:
                 # re-fake-quantize the whole existing cache before appending
                 # the raw new tokens (`basic_var.py:138-147,186-209`)
-                cache_k = cache_k.at[:, :, :cur].set(
-                    kv_q(cache_k[:, :, :cur]))
-                cache_v = cache_v.at[:, :, :cur].set(
-                    kv_q(cache_v[:, :, :cur]))
+                cache_k = cache_k.at[:, :cur].set(_q_merged(cache_k[:, :cur]))
+                cache_v = cache_v.at[:, :cur].set(_q_merged(cache_v[:, :cur]))
             k_store, v_store = k, v
             if kv_q is not None and qrt.kv_mode == "store":
                 k_store, v_store = kv_q(k), kv_q(v)
-            cache_k = jax.lax.dynamic_update_slice(
-                cache_k, k_store.astype(cache_k.dtype), (0, 0, cur, 0))
-            cache_v = jax.lax.dynamic_update_slice(
-                cache_v, v_store.astype(cache_v.dtype), (0, 0, cur, 0))
+            upd3 = lambda buf, val: jax.lax.dynamic_update_slice(  # noqa: E731
+                buf, val.reshape(b, l, c).astype(buf.dtype), (0, cur, 0))
+            cache_k = upd3(cache_k, k_store)
+            cache_v = upd3(cache_v, v_store)
             kv_update = {"k": cache_k, "v": cache_v}
-            k_all = cache_k[:, :, : cur + l].astype(q.dtype)
-            v_all = cache_v[:, :, : cur + l].astype(q.dtype)
+            k_all = cache_k[:, :end].reshape(b, end, heads, hd).astype(q.dtype)
+            v_all = cache_v[:, :end].reshape(b, end, heads, hd).astype(q.dtype)
     else:
         k_all, v_all = k, v
 
@@ -406,14 +424,16 @@ class GenStatics:
 
 def init_kv_cache(cfg: VARConfig, batch: int, dtype=jnp.bfloat16,
                   kv_codec=None):
-    """Preallocated per-scale KV cache.  Dense: bf16 {"k","v"}.  With a
-    packed codec: int8 code arrays + f32 per-token scales (2-4x less HBM —
-    the design SURVEY.md §2.2 calls for; the reference re-quantizes a dense
-    fp16 cache every step instead)."""
-    shape = (cfg.depth, batch, cfg.heads, cfg.L, cfg.head_dim)
+    """Preallocated per-scale KV cache.  Dense: bf16 {"k","v"} at
+    [depth, B, L, H*c] (merged heads so the minor dim is a full 128-lane
+    multiple — a head-split [..., L, 64] layout pads 2x on TPU).  With a
+    packed codec: int8 codes at the same layout + f32 per-(token, head)
+    scales at [depth, B, H, L] (2-4x less HBM — the design SURVEY.md §2.2
+    calls for; the reference re-quantizes a dense fp16 cache every step)."""
+    shape = (cfg.depth, batch, cfg.L, cfg.heads * cfg.head_dim)
     if kv_codec is None:
         return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
-    sshape = shape[:-1] + (1,)
+    sshape = (cfg.depth, batch, cfg.heads, cfg.L)
     return {
         "kc": jnp.zeros(shape, jnp.int8),
         "vc": jnp.zeros(shape, jnp.int8),

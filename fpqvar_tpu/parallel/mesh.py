@@ -13,7 +13,7 @@ out so each pair (mat_qkv->proj, fc1->fc2) needs exactly one psum per branch):
 - ``fc1_w``     [d, 4C, C]:   split output dim over tp
 - ``fc2_w``     [d, C, 4C]:   split input dim over tp  (row-parallel)
 - ``head.w``    [V, C]:       split vocab over tp
-- KV cache [d, B, H, L, c]:   batch over dp, heads over tp
+- KV cache [d, B, L, H*c]:    batch over dp, merged heads over tp
 - activations [B, l, C]:      batch over dp, replicated over tp
 
 Everything else (embeddings, AdaLN, norms, biases of row-parallel layers) is
@@ -91,7 +91,8 @@ def param_shardings(params, mesh: Mesh):
 
 
 def kv_cache_shardings(mesh: Mesh) -> NamedSharding:
-    return NamedSharding(mesh, P(None, "dp", "tp", None, None))
+    # cache layout [depth, B, L, H*c]: batch over dp, merged heads over tp
+    return NamedSharding(mesh, P(None, "dp", None, "tp"))
 
 
 def act_sharding(mesh: Mesh) -> NamedSharding:
