@@ -78,13 +78,16 @@ def test_attention_matches_sdpa():
     # scale=1 L2-norm attention path (`basic_var.py:211-217` slow_attn with
     # scale = self.scale = 1)
     b, h, lq, lk, c = 2, 3, 5, 9, 16
-    q = RNG.normal(size=(b, h, lq, c)).astype(np.float32)
-    k = RNG.normal(size=(b, h, lk, c)).astype(np.float32)
-    v = RNG.normal(size=(b, h, lk, c)).astype(np.float32)
+    # ours takes head-minor [B, l, H, c] layouts
+    q = RNG.normal(size=(b, lq, h, c)).astype(np.float32)
+    k = RNG.normal(size=(b, lk, h, c)).astype(np.float32)
+    v = RNG.normal(size=(b, lk, h, c)).astype(np.float32)
     ours = np.asarray(V._attention(
         jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), None))
     theirs = F.scaled_dot_product_attention(
-        torch.from_numpy(q), torch.from_numpy(k), torch.from_numpy(v),
+        torch.from_numpy(q).transpose(1, 2),
+        torch.from_numpy(k).transpose(1, 2),
+        torch.from_numpy(v).transpose(1, 2),
         scale=1.0).transpose(1, 2).reshape(b, lq, h * c).numpy()
     np.testing.assert_allclose(ours, theirs, atol=2e-5, rtol=1e-4)
 
