@@ -142,18 +142,34 @@ def block_forward(
     rot = qrt.rotation_block if qrt is not None else None
     rot_full = qrt.rotation_full if qrt is not None else None
 
+    # eligible layers fuse rotation + per-group act quant into the GEMM
+    # kernel (one HBM pass over the activation instead of three); capture
+    # mode needs the intermediate tensors and uses the unfused path
+    fused = qrt.fused_fmt if (qrt is not None and not capture) else {}
+
+    def _fused_ok(kind, w):
+        return fused.get(kind) is not None and not isinstance(w, PackedTensor)
+
     # ---- attention branch
     x1 = layernorm_no_affine(x, cfg.norm_eps) * (1.0 + scale1) + shift1
     if smooth:
         x1 = x1 * bp["mat_qkv_s"].astype(x1.dtype)
-    if rot is not None:
-        x1 = apply_block_hadamard(x1, rot)
-    elif rot_full is not None:
-        x1 = x1 @ rot_full.astype(x1.dtype)
-    if aq.get("mat_qkv") is not None:
-        x1 = aq["mat_qkv"](x1)
-    taps = {"mat_qkv": x1} if capture else None
-    qkv = linear(x1, bp["mat_qkv_w"])
+    if _fused_ok("mat_qkv", bp["mat_qkv_w"]) and rot_full is None:
+        from fpqvar_tpu.ops.pallas.act_pipeline import fused_rotquant_linear
+
+        qkv = fused_rotquant_linear(
+            x1, bp["mat_qkv_w"], rot, fused["mat_qkv"],
+            rotate=rot is not None)
+        taps = None
+    else:
+        if rot is not None:
+            x1 = apply_block_hadamard(x1, rot)
+        elif rot_full is not None:
+            x1 = x1 @ rot_full.astype(x1.dtype)
+        if aq.get("mat_qkv") is not None:
+            x1 = aq["mat_qkv"](x1)
+        taps = {"mat_qkv": x1} if capture else None
+        qkv = linear(x1, bp["mat_qkv_w"])
     bias = jnp.concatenate(
         [bp["q_bias"], jnp.zeros_like(bp["q_bias"]), bp["v_bias"]]
     )
@@ -232,23 +248,38 @@ def block_forward(
         k_all, v_all = k, v
 
     oup = _attention(q, k_all, v_all, attn_bias)
-    if aq.get("proj") is not None:
-        oup = aq["proj"](oup)
-    if capture:
-        taps["proj"] = oup
-    x = x + (linear(oup, bp["proj_w"], bp["proj_b"]) * gamma1).astype(x.dtype)
+    if _fused_ok("proj", bp["proj_w"]):
+        from fpqvar_tpu.ops.pallas.act_pipeline import fused_rotquant_linear
+
+        proj_out = fused_rotquant_linear(
+            oup, bp["proj_w"], None, fused["proj"], rotate=False)
+        proj_out = proj_out + bp["proj_b"].astype(proj_out.dtype)
+    else:
+        if aq.get("proj") is not None:
+            oup = aq["proj"](oup)
+        if capture:
+            taps["proj"] = oup
+        proj_out = linear(oup, bp["proj_w"], bp["proj_b"])
+    x = x + (proj_out * gamma1).astype(x.dtype)
 
     # ---- FFN branch
     x2 = layernorm_no_affine(x, cfg.norm_eps) * (1.0 + scale2) + shift2
     if smooth:
         x2 = x2 * bp["fc1_s"].astype(x2.dtype)
-    if rot is not None:
-        x2 = apply_block_hadamard(x2, rot)
-    elif rot_full is not None:
-        x2 = x2 @ rot_full.astype(x2.dtype)
-    if aq.get("fc1") is not None:
-        x2 = aq["fc1"](x2)
-    h = gelu_tanh(linear(x2, bp["fc1_w"], bp["fc1_b"]))
+    if _fused_ok("fc1", bp["fc1_w"]) and rot_full is None:
+        from fpqvar_tpu.ops.pallas.act_pipeline import fused_rotquant_linear
+
+        h1 = fused_rotquant_linear(
+            x2, bp["fc1_w"], rot, fused["fc1"], rotate=rot is not None)
+        h = gelu_tanh(h1 + bp["fc1_b"].astype(h1.dtype))
+    else:
+        if rot is not None:
+            x2 = apply_block_hadamard(x2, rot)
+        elif rot_full is not None:
+            x2 = x2 @ rot_full.astype(x2.dtype)
+        if aq.get("fc1") is not None:
+            x2 = aq["fc1"](x2)
+        h = gelu_tanh(linear(x2, bp["fc1_w"], bp["fc1_b"]))
     if aq.get("fc2") is not None:
         h = aq["fc2"](h)
     if capture:

@@ -76,6 +76,9 @@ def make_kv_codec(fmt: str) -> KVCodec:
 @dataclass(frozen=True)
 class QuantRuntime:
     act_q: Dict[str, Optional[Callable]] = field(default_factory=dict)
+    #: per layer kind: the format name when the fused rotate+quantize+GEMM
+    #: kernel can handle this layer's act quantization, else None
+    fused_fmt: Dict[str, Optional[str]] = field(default_factory=dict)
     per_block_act_q: Optional[List[Dict[str, Optional[Callable]]]] = None
     kv_q: Optional[Callable] = None
     kv_mode: str = "store"
@@ -128,6 +131,7 @@ def build_runtime(qcfg: QuantConfig, depth: Optional[int] = None,
                 dtype=jnp.float32)
 
     act_q: Dict[str, Optional[Callable]] = {k: None for k in LAYER_KINDS}
+    fused_fmt: Dict[str, Optional[str]] = {k: None for k in LAYER_KINDS}
     per_block = None
     if qcfg.enabled:
         if qcfg.int_quant:
@@ -136,6 +140,15 @@ def build_runtime(qcfg: QuantConfig, depth: Optional[int] = None,
             fmts = {k: qcfg.act_format for k in ("mat_qkv", "proj", "fc1")}
             fmts["fc2"] = qcfg.fc2_format
         act_q = {k: _act_quantizer_for(qcfg, fmts[k], k) for k in LAYER_KINDS}
+        if (qcfg.fuse_act and qcfg.backend == "fake" and not qcfg.int_quant
+                and qcfg.act_quant == "per_group"
+                and qcfg.group_size == 128
+                and qcfg.mixed_act_formats is None):
+            from fpqvar_tpu.ops.pallas.act_pipeline import FUSED_FORMATS
+
+            for k in LAYER_KINDS:
+                if fmts[k] in FUSED_FORMATS:
+                    fused_fmt[k] = fmts[k]
 
         if qcfg.mixed_act_formats is not None:
             if depth is None:
@@ -163,6 +176,7 @@ def build_runtime(qcfg: QuantConfig, depth: Optional[int] = None,
 
     return QuantRuntime(
         act_q=act_q,
+        fused_fmt=fused_fmt,
         per_block_act_q=per_block,
         kv_q=kv_q,
         kv_mode=qcfg.kv_mode,

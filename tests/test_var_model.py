@@ -340,3 +340,32 @@ def test_galt_fp6_ste():
     # STE: gradients flow as identity
     g = jax.grad(lambda v: jnp.sum(q4(v) * 2.0))(x)
     np.testing.assert_allclose(np.asarray(g), 2.0)
+
+
+def test_fused_act_pipeline_matches_unfused(tiny_model):
+    """fuse_act=True (rotate+quantize+GEMM in one kernel; f32 rotation) must
+    match the unfused path within bf16-rotation tolerance."""
+    vae_p, var_p = tiny_model
+    base = fpqvar_w4a4().replace(transform=False)
+    qp = quantize_var_params(var_p, TINY, base)
+    lab = jnp.array([2, 6])
+    key = jax.random.PRNGKey(17)
+    img_unfused = VARGenerator(
+        TINY, base.replace(fuse_act=False)).generate(qp, vae_p, lab, key)
+    img_fused = VARGenerator(
+        TINY, base.replace(fuse_act=True)).generate(qp, vae_p, lab, key)
+    # sampling can diverge if any logit flips; just require validity + close
+    # block outputs:
+    from fpqvar_tpu.quantize import build_runtime
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 4, TINY.width)) * 0.3
+    cond = jax.random.normal(jax.random.PRNGKey(4), (2, TINY.width)) * 0.3
+    mod = V.compute_modulations(qp, TINY, cond)
+    y_u, _, _ = V.run_blocks(qp, TINY, build_runtime(
+        base.replace(fuse_act=False), TINY.depth), x, mod)
+    y_f, _, _ = V.run_blocks(qp, TINY, build_runtime(
+        base.replace(fuse_act=True), TINY.depth), x, mod)
+    rel = float(jnp.mean(jnp.abs(y_u - y_f)) / jnp.mean(jnp.abs(y_u)))
+    assert rel < 0.05, rel
+    assert not bool(jnp.isnan(img_fused).any())
+    assert img_fused.shape == img_unfused.shape
