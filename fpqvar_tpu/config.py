@@ -169,11 +169,13 @@ class QuantConfig:
     #: "fake"   — quantize→dequantize in bf16/f32, matmuls dense (parity path)
     #: "packed" — int codes + scales, Pallas fused dequant-matmul (fast path)
     backend: str = "fake"
-    #: fuse rotation + per-group act quantization into the GEMM kernel for
-    #: eligible layers (single-grid formats, per_group/128, dense weights).
-    #: Slightly different numerics than the unfused path: rotation runs in
-    #: f32 inside the kernel (more precise than the bf16 unfused rotation).
-    fuse_act: bool = True
+    #: EXPERIMENTAL: fuse rotation + per-group act quantization into the
+    #: GEMM kernel for eligible layers.  v1 recomputes the quantization per
+    #: N-tile and measured slower than the XLA-fused unfused path at d30
+    #: (4.63 vs 5.42 img/s); default off until the two-phase variant
+    #: (quantize-once kernel + XLA GEMM) lands.  Numerics: rotation runs in
+    #: f32 in-kernel (slightly more precise than the bf16 unfused rotation).
+    fuse_act: bool = False
 
     # Per-block mixed-format assignment (the paper's MixedFormat ablation,
     # `quant_utils.py:1256-1432`): optional tuple of per-block act formats.
