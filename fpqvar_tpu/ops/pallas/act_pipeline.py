@@ -119,11 +119,62 @@ def _fused_matmul_2d(x, w, q, *, fmt, n, k_dim, rotate, interpret=False):
     return out[:m] if m_pad != m else out
 
 
+def _rotquant_kernel(x_ref, q_ref, out_ref, *, bkg, grid_vals, gmax, rotate):
+    """Phase-1 kernel: rotate + per-group quantize, one read/write of x."""
+    for gi in range(bkg):
+        xg = x_ref[:, 128 * gi: 128 * (gi + 1)].astype(jnp.float32)
+        if rotate:
+            xg = jnp.dot(xg, q_ref[:], preferred_element_type=jnp.float32)
+        amax = jnp.max(jnp.abs(xg), axis=1, keepdims=True)
+        scale = jnp.where(amax > 0, amax * jnp.float32(1.0 / gmax), 1.0)
+        xq = _snap_chain(xg * pl.reciprocal(scale, approx=False),
+                         grid_vals) * scale
+        out_ref[:, 128 * gi: 128 * (gi + 1)] = xq.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("fmt", "k_dim", "rotate",
+                                             "interpret"))
+def _rotquant_2d(x, q, *, fmt, k_dim, rotate, interpret=False):
+    """quantize(rotate(x)) [M, K] -> bf16 [M, K] in one pass."""
+    m = x.shape[0]
+    grid_vals = G.GRIDS[fmt]
+    gmax = float(np.max(np.abs(grid_vals)))
+    bkg = _pick(k_dim, 128, (5, 4, 3, 2, 1))
+    bk = 128 * bkg
+    bm = 1024 if m >= 1024 else (256 if m >= 256 else 8)
+    m_pad = _round_up(max(m, 8), bm) if m > bm else _round_up(max(m, 8), 8)
+    bm_eff = min(bm, m_pad)
+    if m_pad != m:
+        x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_rotquant_kernel, bkg=bkg, grid_vals=grid_vals,
+                          gmax=gmax, rotate=rotate),
+        grid=(m_pad // bm_eff, k_dim // bk),
+        in_specs=[
+            pl.BlockSpec((bm_eff, bk), lambda i, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm_eff, bk), lambda i, kk: (i, kk),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, k_dim), jnp.bfloat16),
+        interpret=interpret,
+    )(x, q)
+    return out[:m] if m_pad != m else out
+
+
 def fused_rotquant_linear(x, w, q128, fmt: str, *, rotate: bool = True,
-                          force_jnp: bool = False, interpret: bool = False):
-    """x [..., K]: optional block-rotation + per-group-128 fake quant fused
-    into the GEMM against dense bf16 w [N, K].  jnp fallback reproduces the
-    unfused semantics for CPU tests."""
+                          force_jnp: bool = False, interpret: bool = False,
+                          mode: str = "two_phase"):
+    """x [..., K]: block-rotation + per-group-128 fake quant + GEMM against
+    dense bf16 w [N, K].
+
+    ``mode="two_phase"`` (default): one Pallas kernel materializes the
+    quantized activation (single HBM round trip, no per-N-tile recompute),
+    then XLA's native GEMM consumes it.  ``mode="one_kernel"``: the v1
+    all-in-one kernel (recomputes quantization per N-tile — slower at large
+    N, kept for comparison).  jnp fallback reproduces the semantics for CPU
+    tests."""
     n, k_dim = w.shape
     lead = x.shape[:-1]
     x2 = x.reshape(-1, k_dim)
@@ -137,9 +188,15 @@ def fused_rotquant_linear(x, w, q128, fmt: str, *, rotate: bool = True,
     if usable:
         q = (jnp.asarray(q128, jnp.float32) if q128 is not None
              else jnp.eye(128, dtype=jnp.float32))
-        out = _fused_matmul_2d(x2, w, q, fmt=fmt, n=n, k_dim=k_dim,
-                               rotate=rotate and q128 is not None,
-                               interpret=interpret)
+        do_rot = rotate and q128 is not None
+        if mode == "one_kernel":
+            out = _fused_matmul_2d(x2, w, q, fmt=fmt, n=n, k_dim=k_dim,
+                                   rotate=do_rot, interpret=interpret)
+        else:
+            xq = _rotquant_2d(x2, q, fmt=fmt, k_dim=k_dim, rotate=do_rot,
+                              interpret=interpret)
+            out = jnp.dot(xq, w.astype(jnp.bfloat16).T,
+                          preferred_element_type=jnp.float32)
     else:
         from fpqvar_tpu.ops.hadamard import apply_block_hadamard
         from fpqvar_tpu.ops.quantizers import fake_quant_fp
