@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Generation server CLI: continuous batching of class-conditional requests.
+
+Reads requests as lines of "<class_id> [seed]" from stdin (or generates a
+demo load with --demo N), writes PNGs to --out.  One server per host; shard
+classes across hosts with fpqvar_tpu.eval.pipeline.class_range_for_host.
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--depth", type=int, default=16)
+    p.add_argument("--resolution", type=int, default=256, choices=[256, 512])
+    p.add_argument("--vae-ckpt", type=str, default=None)
+    p.add_argument("--var-ckpt", type=str, default=None)
+    p.add_argument("--packed-ckpt", type=str, default=None)
+    p.add_argument("--quant", action="store_true")
+    p.add_argument("--backend", type=str, default="fake",
+                   choices=["fake", "packed"])
+    p.add_argument("--max-batch", type=int, default=16)
+    p.add_argument("--max-wait-ms", type=float, default=50.0)
+    p.add_argument("--out", type=str, required=True)
+    p.add_argument("--demo", type=int, default=0,
+                   help="submit N demo requests instead of reading stdin")
+    args = p.parse_args()
+
+    import jax
+    import numpy as np
+
+    from fpqvar_tpu.config import (
+        GenerateConfig, QuantConfig, VARConfig, VQVAEConfig,
+        PATCH_NUMS_256, PATCH_NUMS_512, fpqvar_w4a4)
+    from fpqvar_tpu.models import VARGenerator, build_vae_var
+    from fpqvar_tpu.serving import GenerationServer
+    from fpqvar_tpu.utils import checkpoint as C
+    from fpqvar_tpu.eval.imaging import save_images_png
+
+    pns = PATCH_NUMS_512 if args.resolution == 512 else PATCH_NUMS_256
+    cfg = VARConfig(depth=args.depth, shared_aln=(args.resolution == 512),
+                    patch_nums=pns, vae=VQVAEConfig(patch_nums=pns))
+    if args.vae_ckpt and args.var_ckpt:
+        vae_p = C.convert_vqvae_state_dict(
+            C.load_torch_state_dict(args.vae_ckpt), cfg.vae)
+        var_p = (C.load_params(args.packed_ckpt) if args.packed_ckpt
+                 else C.convert_var_state_dict(
+                     C.load_torch_state_dict(args.var_ckpt), cfg))
+    else:
+        print("[warn] random init (smoke-test mode)", file=sys.stderr)
+        vae_p, var_p = build_vae_var(jax.random.PRNGKey(0), cfg)
+
+    qcfg = (fpqvar_w4a4().replace(transform=False, backend=args.backend)
+            if args.quant else QuantConfig())
+    gen = VARGenerator(cfg, qcfg, GenerateConfig())
+    server = GenerationServer(gen, var_p, vae_p, max_batch=args.max_batch,
+                              max_wait_ms=args.max_wait_ms)
+    os.makedirs(args.out, exist_ok=True)
+
+    def requests():
+        if args.demo:
+            for i in range(args.demo):
+                yield i % cfg.num_classes, i
+        else:
+            for line in sys.stdin:
+                parts = line.split()
+                if parts:
+                    yield int(parts[0]), int(parts[1]) if len(parts) > 1 else 0
+
+    futs = []
+    for ci, seed in requests():
+        futs.append((ci, seed, server.submit(ci, seed)))
+    for i, (ci, seed, fut) in enumerate(futs):
+        img = fut.result()
+        save_images_png(np.asarray(img)[None], args.out, ci, start_idx=seed)
+    print(f"served {len(futs)} requests in {server.stats()['batches']} "
+          f"batches -> {args.out}")
+    server.stop()
+
+
+if __name__ == "__main__":
+    main()

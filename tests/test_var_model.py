@@ -369,3 +369,17 @@ def test_fused_act_pipeline_matches_unfused(tiny_model):
     assert rel < 0.05, rel
     assert not bool(jnp.isnan(img_fused).any())
     assert img_fused.shape == img_unfused.shape
+
+
+def test_fuse_act_default_off():
+    """fuse_act ships disabled (measured slower than the XLA-fused unfused
+    path on v5e, see ROUND_NOTES.md); guard against accidental flips."""
+    from fpqvar_tpu.quantize import build_runtime
+
+    qcfg = fpqvar_w4a4()
+    assert qcfg.fuse_act is False
+    qrt = build_runtime(qcfg, 2, 128)
+    assert all(v is None for v in qrt.fused_fmt.values())
+    qrt_on = build_runtime(qcfg.replace(fuse_act=True), 2, 128)
+    assert qrt_on.fused_fmt["mat_qkv"] == "fp_e2"
+    assert qrt_on.fused_fmt["fc2"] is None  # dual-grid not fuseable
