@@ -36,13 +36,21 @@ def generate_eval_set(
     seed: int = 0,
     batch: Optional[int] = None,
     log_every: int = 50,
+    mesh=None,
 ) -> None:
     """Reference protocol: per class, batch = num_img_per_class images with
     g_seed=0, cfg/top-k/top-p from the generator's GenerateConfig
-    (`evaluate...py:187-199`)."""
+    (`evaluate...py:187-199`).  With ``mesh``, labels are dp-sharded and
+    generation runs under the mesh context (params must already be sharded —
+    see fpqvar_tpu.parallel.shard_params)."""
+    import contextlib
+
     cfg = generator.cfg
     classes = classes if classes is not None else range(cfg.num_classes)
     batch = batch or num_img_per_class
+    if mesh is not None:
+        dp = mesh.shape["dp"]
+        batch = max(dp, batch - batch % dp)   # dp-divisible batches
     os.makedirs(out_dir, exist_ok=True)
     t0 = time.time()
     done = 0
@@ -54,12 +62,21 @@ def generate_eval_set(
         produced = 0
         while produced < num_img_per_class:
             b = min(batch, num_img_per_class - produced)
+            if mesh is not None and b % mesh.shape["dp"]:
+                b = batch                     # keep the compiled batch shape
             label = jnp.full((b,), ci, jnp.int32)
             key = jax.random.PRNGKey(seed)
             key = jax.random.fold_in(key, ci * 1000 + produced)
-            imgs = generator.generate(params, vae_params, label, key)
+            ctx = mesh if mesh is not None else contextlib.nullcontext()
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                label = jax.device_put(label, NamedSharding(mesh, P("dp")))
+            with ctx:
+                imgs = generator.generate(params, vae_params, label, key)
+            imgs = imgs[: num_img_per_class - produced]
             save_images_png(imgs, out_dir, ci, start_idx=produced)
-            produced += b
+            produced += imgs.shape[0]
         done += 1
         if done % log_every == 0:
             rate = done / (time.time() - t0)

@@ -22,6 +22,13 @@ from fpqvar_tpu.models import vqvae as vq
 from fpqvar_tpu.quantize.runtime import QuantRuntime, build_runtime
 
 
+def _fold0(key):
+    """fold_in(., 0) for either one key or [B, 2] per-row keys."""
+    if key.ndim == 2:
+        return jax.vmap(lambda k: jax.random.fold_in(k, 0))(key)
+    return jax.random.fold_in(key, 0)
+
+
 class VARGenerator:
     """Holds jitted step functions for one (model, quant, sampling) config."""
 
@@ -76,7 +83,7 @@ class VARGenerator:
 
         def _fused(params, vae_qparams, label_B, key):
             b = label_B.shape[0]
-            key = jax.random.fold_in(key, 0)  # match the stepwise path
+            key = _fold0(key)                 # match the stepwise path
             cond_BD, mod, lvl_pos, x = V.prepare_generation(
                 params, cfg, label_B)
             x = x.astype(compute_dtype)
@@ -108,7 +115,7 @@ class VARGenerator:
             if return_fhat:
                 return f_hat
             return self._decode(vae_params, f_hat)
-        key = jax.random.fold_in(key, 0)   # private copy; steps may donate
+        key = _fold0(key)                  # private copy; steps may donate
         cond_BD, mod, lvl_pos, x = self._prepare(
             params=params, label_B=label_B)
         x = x.astype(self.compute_dtype)

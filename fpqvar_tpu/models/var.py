@@ -46,7 +46,7 @@ import numpy as np
 
 from fpqvar_tpu.config import GenerateConfig, VARConfig
 from fpqvar_tpu.models import vqvae as vq
-from fpqvar_tpu.models.sampling import sample_with_top_k_top_p
+from fpqvar_tpu.models.sampling import gumbel_softmax, sample_with_top_k_top_p
 from fpqvar_tpu.ops.hadamard import apply_block_hadamard
 from fpqvar_tpu.ops.packing import PackedTensor
 
@@ -498,9 +498,42 @@ def scale_step(
     t = gen.cfg * (st.si / (cfg.num_scales - 1))
     logits = (1.0 + t) * logits[:b] - t * logits[b:]
 
-    key, k1 = jax.random.split(key)
-    idx_Bl = sample_with_top_k_top_p(k1, logits, gen.top_k, gen.top_p)
-    h_BChw = vq.embed_idx(vae_qparams, idx_Bl)          # [B, l, Cvae]
+    # ``key`` is either one PRNG key (shared batch randomness, the
+    # reference's single torch generator) or [B, 2] per-row keys — used by
+    # the serving path so a request's randomness is independent of what it
+    # is co-batched with.
+    per_row = key.ndim == 2
+
+    def _split(k):
+        if per_row:
+            ks = jax.vmap(jax.random.split)(k)     # [B, 2, 2]
+            return ks[:, 0], ks[:, 1]
+        return jax.random.split(k)
+
+    key, k1 = _split(key)
+    if per_row:
+        idx_Bl = jax.vmap(
+            lambda kk, lg: sample_with_top_k_top_p(
+                kk, lg, gen.top_k, gen.top_p)
+        )(k1, logits)
+    else:
+        idx_Bl = sample_with_top_k_top_p(k1, logits, gen.top_k, gen.top_p)
+    if gen.more_smooth:
+        # gumbel-softmax blended codebook embedding; idx_Bl is still drawn
+        # (and discarded) to keep the key stream identical to the default
+        # mode (`models/var.py:202-208`: not used for FID evaluation)
+        ratio = st.si / (cfg.num_scales - 1)
+        gum_t = max(0.27 * (1.0 - ratio * 0.95), 0.005)
+        key, k2 = _split(key)
+        if per_row:
+            soft = jax.vmap(
+                lambda kk, lg: gumbel_softmax(kk, lg * (1.0 + ratio), gum_t)
+            )(k2, logits)
+        else:
+            soft = gumbel_softmax(k2, logits * (1.0 + ratio), gum_t)
+        h_BChw = soft @ vae_qparams["embedding"].astype(soft.dtype)
+    else:
+        h_BChw = vq.embed_idx(vae_qparams, idx_Bl)      # [B, l, Cvae]
     h_BChw = h_BChw.transpose(0, 2, 1).reshape(
         b, cfg.vae.z_channels, st.pn, st.pn).astype(jnp.float32)
 

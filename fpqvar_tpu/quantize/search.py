@@ -28,12 +28,14 @@ FP4_SPACE = {"e1m2": "fp_e1", "e2m1": "fp_e2", "e3m0": "fp_e3"}
 FP6_SPACE = {"e2m3": "fp6_e2m3", "e3m2": "fp6_e3m2"}
 
 
-@partial(jax.jit, static_argnames=("w_fmt", "a_fmt", "group_size"))
-def _pair_loss(x, w, w_fmt: str, a_fmt: str, group_size: int):
+@partial(jax.jit,
+         static_argnames=("w_fmt", "a_fmt", "group_size", "granularity"))
+def _pair_loss(x, w, w_fmt: str, a_fmt: str, group_size: int,
+               granularity: str = "per_group"):
     ref = x @ w.T
-    qx = Q.fake_quant_fp(x, a_fmt, granularity="per_group",
+    qx = Q.fake_quant_fp(x, a_fmt, granularity=granularity,
                          group_size=group_size)
-    qw = Q.fake_quant_fp(w, w_fmt, granularity="per_group",
+    qw = Q.fake_quant_fp(w, w_fmt, granularity=granularity,
                          group_size=group_size)
     return jnp.mean((ref - qx @ qw.T) ** 2)
 
@@ -83,6 +85,44 @@ def search_formats(
             "weight_format": wn,
             "activation_format": an,
             "loss": loss,
+        })
+    return results
+
+
+def search_ada_formats(
+    cond_acts: np.ndarray,      # [N, C] SiLU'd class-condition activations
+    ada_weights: np.ndarray,    # [depth, 6C, C] stacked ada_lin weights
+    space: Dict[str, str] = FP4_SPACE,
+    granularity: str = "per_token",
+    group_size: int = 128,
+) -> List[dict]:
+    """Format search for the AdaLN ``ada_lin`` condition input.
+
+    Re-implements `search/search_fp_format_ada.py:396-469`: per block,
+    choose the (weight_format, act_format) pair minimizing the MSE of
+    ``silu(cond) @ W_ada^T`` after fake quantization.  The condition tensor
+    comes from :func:`fpqvar_tpu.quantize.calibration.capture_condition`
+    (the reference saves it per (block, step) but it is the same per-label
+    vector every time).  Emits the same JSON schema as the linear-layer
+    search.  Default granularity is per-token, matching the reference's ada
+    study quantizers.
+    """
+    x = jnp.asarray(cond_acts, jnp.float32)
+    results = []
+    for blk in range(ada_weights.shape[0]):
+        w = jnp.asarray(ada_weights[blk], jnp.float32)
+        best = (None, None, float("inf"))
+        for wn, wf in space.items():
+            for an, af in space.items():
+                loss = float(_pair_loss(x, w, wf, af, group_size,
+                                        granularity))
+                if loss < best[2]:
+                    best = (wn, an, loss)
+        results.append({
+            "block_idx": blk,
+            "weight_format": best[0],
+            "activation_format": best[1],
+            "loss": best[2],
         })
     return results
 

@@ -92,11 +92,14 @@ class GenerationServer:
             pad = self.max_batch - n
             labels = jnp.asarray(
                 [b[0] for b in batch] + [0] * pad, jnp.int32)
-            # one key per batch, folded with the request seeds so a batch's
-            # randomness is reproducible from (base_seed, request seeds)
-            key = self.base_key
-            for _, seed, _ in batch:
-                key = jax.random.fold_in(key, seed)
+            # one key PER ROW, derived only from (base_seed, request seed):
+            # a request's image is reproducible regardless of what it is
+            # co-batched with (the model samples each row with its own key
+            # when given [B, 2] keys — see models/var.py scale_step)
+            key = jnp.stack(
+                [jax.random.fold_in(self.base_key, seed)
+                 for _, seed, _ in batch]
+                + [jax.random.fold_in(self.base_key, 0)] * pad)
             try:
                 imgs = self.generator.generate(
                     self.params, self.vae_params, labels, key)

@@ -77,6 +77,9 @@ def parse_args():
     p.add_argument("--num-hosts", type=int, default=1)
     p.add_argument("--dp", type=int, default=1)
     p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="host:port for jax.distributed.initialize "
+                        "(multi-host runs; pair with --host-id/--num-hosts)")
     p.add_argument("--pack-npz", action="store_true",
                    help="pack PNGs to npz when generation finishes")
     return p.parse_args()
@@ -148,6 +151,14 @@ def main():
 
     cfg, qcfg, gen_cfg = build_configs(args)
 
+    # multi-host wiring: one process per host, DCN-connected; jax.distributed
+    # makes every host see the global device set (SURVEY.md §2.9 TPU-native
+    # equivalents — the reference has no distributed execution at all)
+    if args.coordinator is not None:
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_hosts, process_id=args.host_id)
+
     if args.vae_ckpt and args.var_ckpt:
         vae_p = C.convert_vqvae_state_dict(
             C.load_torch_state_dict(args.vae_ckpt), cfg.vae)
@@ -173,6 +184,16 @@ def main():
         json.dump({"model": vars(args), "L": cfg.L, "width": cfg.width}, f,
                   indent=2, default=str)
 
+    # single-flag sharded eval: build the {dp, tp} mesh and shard the
+    # parameter tree; labels are dp-sharded inside generate_eval_set
+    mesh = None
+    if args.dp * args.tp > 1:
+        from fpqvar_tpu.config import MeshConfig
+        from fpqvar_tpu.parallel import make_mesh, shard_params
+
+        mesh = make_mesh(MeshConfig(dp=args.dp, tp=args.tp))
+        var_p = shard_params(var_p, mesh)
+
     generator = VARGenerator(cfg, qcfg, gen_cfg)
     if args.classes:
         a, b = args.classes.split(":")
@@ -183,7 +204,7 @@ def main():
     generate_eval_set(
         generator, var_p, vae_p, args.out,
         num_img_per_class=args.num_img_per_class, classes=classes,
-        seed=args.seed, batch=args.batch)
+        seed=args.seed, batch=args.batch, mesh=mesh)
 
     if args.pack_npz:
         from fpqvar_tpu.eval.imaging import create_npz_from_sample_folder

@@ -16,7 +16,10 @@ def main():
     p.add_argument("--var-ckpt", type=str, default=None)
     p.add_argument("--calib", type=str, required=True)
     p.add_argument("--kind", type=str, default="fc1",
-                   choices=["mat_qkv", "proj", "fc1", "fc2"])
+                   choices=["mat_qkv", "proj", "fc1", "fc2", "ada"])
+    p.add_argument("--labels", type=int, default=100,
+                   help="ada kind: number of class labels for the "
+                        "condition-activation search")
     p.add_argument("--bits", type=int, default=4, choices=[4, 6])
     p.add_argument("--max-samples", type=int, default=1000)
     p.add_argument("--out", type=str, default=None)
@@ -42,11 +45,19 @@ def main():
         print("[warn] random init (smoke-test mode)", file=sys.stderr)
         var_p = init_var_params(jax.random.PRNGKey(0), cfg)
 
-    weights = np.asarray(var_p["blocks"][f"{args.kind}_w"], np.float32)
-    store = CalibrationStore(args.calib)
     space = S.FP4_SPACE if args.bits == 4 else S.FP6_SPACE
-    results = S.search_formats(store, weights, args.kind, space=space,
-                               max_samples=args.max_samples)
+    if args.kind == "ada":
+        # AdaLN condition-input search (`search_fp_format_ada.py:396-469`)
+        from fpqvar_tpu.quantize.calibration import capture_condition
+
+        cond = capture_condition(var_p, cfg, np.arange(args.labels))
+        ada_w = np.asarray(var_p["blocks"]["ada_lin"]["w"], np.float32)
+        results = S.search_ada_formats(cond, ada_w, space=space)
+    else:
+        weights = np.asarray(var_p["blocks"][f"{args.kind}_w"], np.float32)
+        store = CalibrationStore(args.calib)
+        results = S.search_formats(store, weights, args.kind, space=space,
+                                   max_samples=args.max_samples)
     out = args.out or f"optimal_quantization_formats_{args.kind}.json"
     S.save_formats_json(out, results)
     print(f"wrote {out}")

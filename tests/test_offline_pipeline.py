@@ -130,3 +130,23 @@ def test_format_search_on_ada_lin(model, store):
     ada_w = np.asarray(var_p["blocks"]["ada_lin"]["w"][0])  # [6C, C]
     wn, an, loss = S.search_formats_for_block(cond, ada_w, S.FP4_SPACE)
     assert wn in S.FP4_SPACE and an in S.FP4_SPACE and loss >= 0.0
+
+
+def test_search_ada_formats_all_blocks(model, tmp_path):
+    """Per-block ada search consumes capture_condition output and emits the
+    reference JSON schema (`search_fp_format_ada.py:396-469`)."""
+    from fpqvar_tpu.quantize.calibration import capture_condition
+
+    _, var_p = model
+    cond = capture_condition(var_p, TINY, np.arange(8))
+    ada_w = np.asarray(var_p["blocks"]["ada_lin"]["w"])   # [depth, 6C, C]
+    results = S.search_ada_formats(cond, ada_w)
+    assert len(results) == TINY.depth
+    for blk, r in enumerate(results):
+        assert r["block_idx"] == blk
+        assert r["weight_format"] in S.FP4_SPACE
+        assert r["activation_format"] in S.FP4_SPACE
+        assert r["loss"] >= 0.0
+    p = str(tmp_path / "ada.json")
+    S.save_formats_json(p, results)
+    assert S.load_formats_json(p) == results

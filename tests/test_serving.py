@@ -32,6 +32,19 @@ def test_single_request(server):
     assert 0.0 <= img.min() and img.max() <= 1.0
 
 
+def test_same_request_reproducible_across_batch_mixes(server):
+    """A (label, seed) request must yield the same image regardless of what
+    it is co-batched with (per-row key folding in serving._run)."""
+    import numpy as np
+
+    a1 = server.submit(3, seed=7).result(timeout=60)          # likely alone
+    futs = [server.submit(i % 8, seed=100 + i) for i in range(3)]
+    a2 = server.submit(3, seed=7).result(timeout=60)          # mixed batch
+    for f in futs:
+        f.result(timeout=60)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+
+
 def test_requests_are_batched(server):
     before = server.stats()["batches"]
     futs = [server.submit(i % 8, seed=i) for i in range(4)]

@@ -178,6 +178,39 @@ def test_generation_deterministic_given_key(tiny_model):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_more_smooth_generation(tiny_model):
+    """`more_smooth` blends the codebook embedding with a gumbel-softmax of
+    the logits (`models/var.py:204-208`) — must run and differ from the
+    default hard-sample path."""
+    from fpqvar_tpu.config import GenerateConfig
+
+    vae_p, var_p = tiny_model
+    gen_hard = VARGenerator(TINY, QuantConfig())
+    gen_soft = VARGenerator(TINY, QuantConfig(),
+                            gen=GenerateConfig(more_smooth=True))
+    key = jax.random.PRNGKey(9)
+    a = gen_hard.generate(var_p, vae_p, jnp.array([3]), key)
+    b = gen_soft.generate(var_p, vae_p, jnp.array([3]), key)
+    assert a.shape == b.shape
+    assert not bool(jnp.isnan(b).any())
+    assert float(jnp.mean(jnp.abs(a - b))) > 0.0
+
+
+def test_per_row_keys_batch_independent(tiny_model):
+    """Generation with [B, 2] per-row keys: a row's image depends only on
+    its own key, not on batch composition (serving reproducibility)."""
+    vae_p, var_p = tiny_model
+    gen = VARGenerator(TINY, QuantConfig())
+    k_a = jax.random.fold_in(jax.random.PRNGKey(0), 7)
+    k_b = jax.random.fold_in(jax.random.PRNGKey(0), 8)
+    k_c = jax.random.fold_in(jax.random.PRNGKey(0), 9)
+    one = gen.generate(var_p, vae_p, jnp.array([3, 1]),
+                       jnp.stack([k_a, k_b]))
+    two = gen.generate(var_p, vae_p, jnp.array([5, 3]),
+                       jnp.stack([k_c, k_a]))
+    np.testing.assert_array_equal(np.asarray(one[0]), np.asarray(two[1]))
+
+
 def test_shared_aln_generation():
     """512-model path: shared SiLU->SharedAdaLin + per-block ada_gss
     (`models/var.py:85`, `basic_var.py:244-245,255-256`)."""
