@@ -164,7 +164,9 @@ def build_runtime(qcfg: QuantConfig, depth: Optional[int] = None,
 
     kv_q = None
     kv_codec = None
-    if qcfg.enabled and qcfg.kv_bit:
+    # KV quantization is independent of linear-layer quantization, like the
+    # reference's quant_KV flag (`var.py:134-139` threads it separately)
+    if qcfg.kv_bit:
         if qcfg.kv_backend == "packed":
             fmt = qcfg.resolved_kv_format()
             if fmt == "int_sym":
