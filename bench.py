@@ -113,6 +113,7 @@ def main():
     var_host = jax.tree_util.tree_map(np.asarray, var_p)
     qcfg_pk = fpqvar_w4a4().replace(backend="packed", transform=False)
     qcfg_fk = fpqvar_w4a4().replace(transform=False)
+    qcfg_i8 = fpqvar_w4a4().replace(backend="int8", transform=False)
 
     var_dev = jax.device_put(var_host, dev)
     gen_bf16 = VARGenerator(cfg, QuantConfig(), gen_cfg)
@@ -130,20 +131,28 @@ def main():
           file=sys.stderr)
     free(qp_fk)
 
+    qp_i8 = quantize_var_params(var_host, cfg, qcfg_i8)
+    gen_i8 = VARGenerator(cfg, qcfg_i8, gen_cfg)
+    ips_i8 = time_generate(gen_i8, qp_i8, vae_p, label, key, args.rounds)
+    print(f"# fp4-int8(grouped int8-MXU GEMM): {ips_i8:.3f} images/sec",
+          file=sys.stderr)
+    free(qp_i8)
+
     qp_pk = quantize_var_params(var_host, cfg, qcfg_pk)
     gen_pk = VARGenerator(cfg, qcfg_pk, gen_cfg)
     ips_pk = time_generate(gen_pk, qp_pk, vae_p, label, key, args.rounds)
     print(f"# fp4-packed: {ips_pk:.3f} images/sec", file=sys.stderr)
     free(qp_pk)
 
-    best_name, ips_fp4 = max((("fake", ips_fk), ("packed", ips_pk)),
-                             key=lambda t: t[1])
+    best_name, ips_fp4 = max(
+        (("fake", ips_fk), ("packed", ips_pk), ("int8", ips_i8)),
+        key=lambda t: t[1])
     print(json.dumps({
         "metric": f"images/sec/chip VAR-{args.preset} FP4 W4A4 256x256 "
                   f"(e2m1 per-group-128 + block-Hadamard + fc2 dual-grid; "
                   f"best mode={best_name}; batch {batch}, cfg-doubled; "
                   f"bf16={ips_bf16:.3f}, fake={ips_fk:.3f}, "
-                  f"packed={ips_pk:.3f})",
+                  f"int8={ips_i8:.3f}, packed={ips_pk:.3f})",
         "value": round(ips_fp4, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips_fp4 / ips_bf16, 4),

@@ -167,7 +167,11 @@ class QuantConfig:
     transform: bool = False             # GALT smoothing
 
     #: "fake"   — quantize→dequantize in bf16/f32, matmuls dense (parity path)
-    #: "packed" — int codes + scales, Pallas fused dequant-matmul (fast path)
+    #: "packed" — nibble codes + scales, Pallas fused dequant-matmul
+    #:            (weight-HBM-capacity path: 4x smaller weights)
+    #: "int8"   — integer-value codes both sides, grouped int8 x int8 -> int32
+    #:            MXU GEMM (throughput path: 2x bf16 MAC rate on v5e; exact
+    #:            integer arithmetic, tighter than the fake bf16 GEMM)
     backend: str = "fake"
     #: EXPERIMENTAL: fuse rotation + per-group act quantization into the
     #: GEMM kernel for eligible layers.  v1 recomputes the quantization per

@@ -150,6 +150,29 @@ def block_forward(
     def _fused_ok(kind, w):
         return fused.get(kind) is not None and not isinstance(w, PackedTensor)
 
+    def _q_then_lin(kind, xv, w, b=None):
+        """Activation quant + linear for one layer kind.  int8-backend
+        weights (IntPack) quantize to integer codes inside the kernel call;
+        fake/packed paths apply the dequantizing act quantizer first.
+        Returns (y, activation-for-capture-tap)."""
+        from fpqvar_tpu.ops.packing import DUAL_CODE_MULT, IntPack
+
+        if isinstance(w, IntPack):
+            from fpqvar_tpu.ops.pallas.int8_matmul import (
+                int8_linear, int8_linear_dual)
+
+            fmt_a = qrt.act_fmts.get(kind) or w.fmt
+            if fmt_a in DUAL_CODE_MULT:
+                y = int8_linear_dual(xv, w, fmt_a)
+            else:
+                y = int8_linear(xv, w, fmt_a)
+            if b is not None:
+                y = y + b.astype(y.dtype)
+            return y, xv
+        if aq.get(kind) is not None:
+            xv = aq[kind](xv)
+        return linear(xv, w, b), xv
+
     # ---- attention branch
     x1 = layernorm_no_affine(x, cfg.norm_eps) * (1.0 + scale1) + shift1
     if smooth:
@@ -166,10 +189,8 @@ def block_forward(
             x1 = apply_block_hadamard(x1, rot)
         elif rot_full is not None:
             x1 = x1 @ rot_full.astype(x1.dtype)
-        if aq.get("mat_qkv") is not None:
-            x1 = aq["mat_qkv"](x1)
-        taps = {"mat_qkv": x1} if capture else None
-        qkv = linear(x1, bp["mat_qkv_w"])
+        qkv, x1t = _q_then_lin("mat_qkv", x1, bp["mat_qkv_w"])
+        taps = {"mat_qkv": x1t} if capture else None
     bias = jnp.concatenate(
         [bp["q_bias"], jnp.zeros_like(bp["q_bias"]), bp["v_bias"]]
     )
@@ -255,11 +276,10 @@ def block_forward(
             oup, bp["proj_w"], None, fused["proj"], rotate=False)
         proj_out = proj_out + bp["proj_b"].astype(proj_out.dtype)
     else:
-        if aq.get("proj") is not None:
-            oup = aq["proj"](oup)
+        proj_out, oup_t = _q_then_lin("proj", oup, bp["proj_w"],
+                                      bp["proj_b"])
         if capture:
-            taps["proj"] = oup
-        proj_out = linear(oup, bp["proj_w"], bp["proj_b"])
+            taps["proj"] = oup_t
     x = x + (proj_out * gamma1).astype(x.dtype)
 
     # ---- FFN branch
@@ -277,15 +297,12 @@ def block_forward(
             x2 = apply_block_hadamard(x2, rot)
         elif rot_full is not None:
             x2 = x2 @ rot_full.astype(x2.dtype)
-        if aq.get("fc1") is not None:
-            x2 = aq["fc1"](x2)
-        h = gelu_tanh(linear(x2, bp["fc1_w"], bp["fc1_b"]))
-    if aq.get("fc2") is not None:
-        h = aq["fc2"](h)
+        h1, x2 = _q_then_lin("fc1", x2, bp["fc1_w"], bp["fc1_b"])
+        h = gelu_tanh(h1)
+    out, h_t = _q_then_lin("fc2", h, bp["fc2_w"], bp["fc2_b"])
     if capture:
         taps["fc1"] = x2
-        taps["fc2"] = h
-    out = linear(h, bp["fc2_w"], bp["fc2_b"])
+        taps["fc2"] = h_t
     x = x + (out * gamma2).astype(x.dtype)
     return x, kv_update, taps
 

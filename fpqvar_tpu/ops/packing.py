@@ -148,6 +148,119 @@ def pack_stacked(w: Array, fmt: str, group_size: int = 128) -> PackedTensor:
 # from a lookup table is not vectorization-friendly).
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Integer-value codes for the int8-MXU path.
+#
+# Every fp4/fp6 grid is exactly representable as small integers after
+# multiplying by a fixed power of two (e2m1 x2 -> {0,±1..±4,±6,±8,±12}),
+# so a quantized GEMM can run as int8 x int8 -> int32 on the MXU (2x the
+# bf16 rate on v5e) with the per-group scales applied in f32 afterwards:
+#
+#   y = sum_g  ascale'[m,g] * wscale'[g,n] * (acodes[m,gk] . wcodes[gk,n])
+#
+# where scale' = absmax/gmax/mult absorbs the integer multiplier.  The
+# int32 dot is EXACT (|code| <= 60, 128-term groups), so this path is
+# numerically tighter than the fake bf16 GEMM.
+# ---------------------------------------------------------------------------
+
+#: format -> multiplier making every grid value an exact integer (and the
+#: largest |integer| staying within int8)
+CODE_MULT = {
+    "fp_e1": 4,        # e1m2: 0.25 steps        -> |int| <= 7
+    "fp_e2": 2,        # e2m1: 0.5 granularity   -> |int| <= 12
+    "fp_e3": 4,        # e3m0: 0.25 min          -> |int| <= 64
+    "fp6_e2m3": 8,     # e2m3: 0.125 min         -> |int| <= 60
+}
+
+#: dual-grid format -> (neg_mult, pos_mult)
+DUAL_CODE_MULT = {
+    "fp_e1m2_neg_e2m1_pos": (4, 2),
+    "fp4_afpq": (2, 2),
+    "fp6_int_neg_e2m3_pos": (1, 8),
+}
+
+
+@dataclass(frozen=True)
+class IntPack:
+    """Weight packed as integer-value codes for the int8-MXU kernel.
+
+    ``codes``: int8, TRANSPOSED layout [K, N] (so kernel K-tiles load
+    contiguously, no in-kernel transpose); ``scales``: f32 [G, N] with the
+    CODE_MULT folded in (value = code * scale).  ``shape`` is the logical
+    (N, K) torch-layout weight shape.
+    """
+
+    codes: Array
+    scales: Array
+    fmt: str
+    shape: Tuple[int, ...]
+    group_size: int
+
+
+jax.tree_util.register_pytree_node(
+    IntPack,
+    lambda p: ((p.codes, p.scales), (p.fmt, p.shape, p.group_size)),
+    lambda aux, ch: IntPack(ch[0], ch[1], *aux),
+)
+
+
+def quant_int_codes(x: Array, fmt: str, group_size: int = 128):
+    """Quantize (…, K) -> (codes int8, scales f32 (…, G)) with value =
+    code * scale.  Uses the same midpoint snap as the fake path, so
+    codes * scales reproduces ``quantizers.fake_quant_fp`` bit-wise."""
+    from fpqvar_tpu.ops import quantizers as Q
+
+    grid = G.GRIDS[fmt]
+    gmax = float(np.max(np.abs(grid)))
+    mult = float(CODE_MULT[fmt])
+    shape = tuple(x.shape)
+    xg = x.reshape(shape[:-1] + (shape[-1] // group_size, group_size))
+    xf = xg.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.where(absmax > 0, absmax / gmax, 1.0)
+    snapped = Q.snap_to_grid(xf / scale, grid)          # exact grid values
+    codes = jnp.round(snapped * mult).astype(jnp.int8)  # exact integers
+    return (codes.reshape(shape),
+            (scale[..., 0] / mult).astype(jnp.float32))
+
+
+def quant_int_codes_dual(x: Array, fmt: str, group_size: int = 128):
+    """Dual-grid (fc2) variant -> (codes_neg, scales_neg, codes_pos,
+    scales_pos); value = cn * sn + cp * sp (each half snaps the other
+    half's zeros to 0, matching ``quantizers.fake_quant_dual``)."""
+    from fpqvar_tpu.ops import quantizers as Q
+
+    neg_grid, pos_grid = G.DUAL_GRIDS[fmt]
+    nmax = float(np.max(np.abs(neg_grid)))
+    pmax = float(np.max(np.abs(pos_grid)))
+    nmult, pmult = (float(m) for m in DUAL_CODE_MULT[fmt])
+    shape = tuple(x.shape)
+    xg = x.reshape(shape[:-1] + (shape[-1] // group_size, group_size))
+    xf = xg.astype(jnp.float32)
+    x_neg = jnp.where(xf <= 0, xf, 0.0)
+    x_pos = jnp.where(xf > 0, xf, 0.0)
+    amax_n = jnp.max(jnp.abs(x_neg), axis=-1, keepdims=True)
+    amax_p = jnp.max(jnp.abs(x_pos), axis=-1, keepdims=True)
+    sn = jnp.where(amax_n > 0, amax_n / nmax, 1.0)
+    sp = jnp.where(amax_p > 0, amax_p / pmax, 1.0)
+    cn = jnp.round(Q.snap_to_grid(x_neg / sn, neg_grid) * nmult)
+    cp = jnp.round(Q.snap_to_grid(x_pos / sp, pos_grid) * pmult)
+    return (cn.astype(jnp.int8).reshape(shape),
+            (sn[..., 0] / nmult).astype(jnp.float32),
+            cp.astype(jnp.int8).reshape(shape),
+            (sp[..., 0] / pmult).astype(jnp.float32))
+
+
+def pack_int_codes(w: Array, fmt: str, group_size: int = 128) -> IntPack:
+    """Pack a [N, K] (or depth-stacked [d, N, K]) weight into the kernel's
+    transposed int8 layout.  Stacked weights keep a leading depth axis on
+    codes [d, K, N] and scales [d, G, N] (sliceable inside lax.scan)."""
+    codes, scales = quant_int_codes(w, fmt, group_size)
+    codes_t = jnp.swapaxes(codes, -1, -2)       # [..., K, N]
+    scales_t = jnp.swapaxes(scales, -1, -2)     # [..., G, N]
+    return IntPack(codes_t, scales_t, fmt, tuple(w.shape[-2:]), group_size)
+
+
 def decode_fp4_e2m1(codes: Array) -> Array:
     """code (0..14 index into the sorted 15-value e2m1 grid) -> value.
 

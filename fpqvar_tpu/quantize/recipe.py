@@ -90,6 +90,16 @@ def quantize_weights(blocks: dict, qcfg: QuantConfig) -> dict:
         for key in _WEIGHT_KEYS:
             out[key] = pack_j(jnp.asarray(blocks[key], jnp.float32))
         return out
+    if qcfg.backend == "int8":
+        fmt = qcfg.weight_format
+        if fmt not in P.CODE_MULT:
+            raise ValueError(
+                f"int8 backend supports {sorted(P.CODE_MULT)}, got {fmt}")
+        pack_j = jax.jit(
+            lambda w: P.pack_int_codes(w, fmt, qcfg.group_size))
+        for key in _WEIGHT_KEYS:
+            out[key] = pack_j(jnp.asarray(blocks[key], jnp.float32))
+        return out
     fmt = "int_sym" if qcfg.int_quant else qcfg.weight_format
     wq = Q.make_weight_quantizer(
         fmt, qcfg.w_bit, granularity=qcfg.weight_quant,

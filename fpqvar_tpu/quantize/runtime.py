@@ -76,6 +76,9 @@ def make_kv_codec(fmt: str) -> KVCodec:
 @dataclass(frozen=True)
 class QuantRuntime:
     act_q: Dict[str, Optional[Callable]] = field(default_factory=dict)
+    #: per layer kind: activation format NAME (int8 backend quantizes inside
+    #: the kernel call and needs the name, not a dequantizing callable)
+    act_fmts: Dict[str, Optional[str]] = field(default_factory=dict)
     #: per layer kind: the format name when the fused rotate+quantize+GEMM
     #: kernel can handle this layer's act quantization, else None
     fused_fmt: Dict[str, Optional[str]] = field(default_factory=dict)
@@ -131,6 +134,7 @@ def build_runtime(qcfg: QuantConfig, depth: Optional[int] = None,
                 dtype=jnp.float32)
 
     act_q: Dict[str, Optional[Callable]] = {k: None for k in LAYER_KINDS}
+    fmts: Dict[str, Optional[str]] = {k: None for k in LAYER_KINDS}
     fused_fmt: Dict[str, Optional[str]] = {k: None for k in LAYER_KINDS}
     per_block = None
     if qcfg.enabled:
@@ -139,6 +143,27 @@ def build_runtime(qcfg: QuantConfig, depth: Optional[int] = None,
         else:
             fmts = {k: qcfg.act_format for k in ("mat_qkv", "proj", "fc1")}
             fmts["fc2"] = qcfg.fc2_format
+        if qcfg.backend == "int8":
+            # act quantization happens inside the int8 kernel call (codes +
+            # scales, no dequantized intermediate) — see models/var.py
+            from fpqvar_tpu.ops import packing as P
+
+            if qcfg.int_quant or qcfg.act_quant != "per_group":
+                raise ValueError(
+                    "int8 backend requires per-group fp act quantization")
+            if qcfg.mixed_act_formats is not None:
+                raise ValueError(
+                    "int8 backend does not support mixed_act_formats")
+            for k, f in fmts.items():
+                if f not in P.CODE_MULT and f not in P.DUAL_CODE_MULT:
+                    raise ValueError(
+                        f"int8 backend: unsupported act format {f!r} ({k})")
+            return QuantRuntime(
+                act_q=act_q, act_fmts=fmts, fused_fmt=fused_fmt,
+                kv_q=_build_kv(qcfg)[0], kv_codec=_build_kv(qcfg)[1],
+                kv_mode=qcfg.kv_mode,
+                rotation_block=rotation, rotation_full=rotation_full,
+                transform=qcfg.transform)
         act_q = {k: _act_quantizer_for(qcfg, fmts[k], k) for k in LAYER_KINDS}
         if (qcfg.fuse_act and qcfg.backend == "fake" and not qcfg.int_quant
                 and qcfg.act_quant == "per_group"
@@ -162,22 +187,10 @@ def build_runtime(qcfg: QuantConfig, depth: Optional[int] = None,
                     d[k] = _act_quantizer_for(qcfg, bfmt, k)
                 per_block.append(d)
 
-    kv_q = None
-    kv_codec = None
-    # KV quantization is independent of linear-layer quantization, like the
-    # reference's quant_KV flag (`var.py:134-139` threads it separately)
-    if qcfg.kv_bit:
-        if qcfg.kv_backend == "packed":
-            fmt = qcfg.resolved_kv_format()
-            if fmt == "int_sym":
-                raise NotImplementedError(
-                    "packed int KV not wired; use a grid kv_format")
-            kv_codec = make_kv_codec(fmt)
-        else:
-            kv_q = lambda t: Q.fake_quant_kv(t, qcfg)  # noqa: E731
-
+    kv_q, kv_codec = _build_kv(qcfg)
     return QuantRuntime(
         act_q=act_q,
+        act_fmts=fmts,
         fused_fmt=fused_fmt,
         per_block_act_q=per_block,
         kv_q=kv_q,
@@ -187,3 +200,17 @@ def build_runtime(qcfg: QuantConfig, depth: Optional[int] = None,
         rotation_full=rotation_full,
         transform=qcfg.transform,
     )
+
+
+def _build_kv(qcfg: QuantConfig):
+    """(kv_q, kv_codec) — KV quantization is independent of linear-layer
+    quantization, like the reference's quant_KV flag (`var.py:134-139`)."""
+    if not qcfg.kv_bit:
+        return None, None
+    if qcfg.kv_backend == "packed":
+        fmt = qcfg.resolved_kv_format()
+        if fmt == "int_sym":
+            raise NotImplementedError(
+                "packed int KV not wired; use a grid kv_format")
+        return None, make_kv_codec(fmt)
+    return (lambda t: Q.fake_quant_kv(t, qcfg)), None

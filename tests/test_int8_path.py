@@ -1,0 +1,150 @@
+"""int8-MXU backend tests: integer-code quantization must reproduce the fake
+path exactly, the grouped kernel must match its jnp mirror, and end-to-end
+generation must run NaN-free."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fpqvar_tpu.config import QuantConfig, VARConfig, VQVAEConfig, fpqvar_w4a4
+from fpqvar_tpu.models import VARGenerator, build_vae_var
+from fpqvar_tpu.ops import packing as P
+from fpqvar_tpu.ops import quantizers as Q
+from fpqvar_tpu.ops.pallas.int8_matmul import (
+    _int8_matmul_2d, _jnp_reference, int8_linear, int8_linear_dual)
+from fpqvar_tpu.quantize import build_runtime, quantize_var_params
+
+TINY = VARConfig(
+    depth=2, embed_dim=128, num_heads=2, patch_nums=(1, 2, 3),
+    vae=VQVAEConfig(vocab_size=64, z_channels=8, ch=16, ch_mult=(1, 2),
+                    num_res_blocks=1, patch_nums=(1, 2, 3)),
+)
+
+
+@pytest.mark.parametrize("fmt", sorted(P.CODE_MULT))
+def test_int_codes_reproduce_fake_quant(fmt):
+    """codes * scales == fake_quant_fp bit-wise (same snap, exact integer
+    representation)."""
+    x = jax.random.normal(jax.random.PRNGKey(0), (32, 256)) * 1.7
+    codes, scales = P.quant_int_codes(x, fmt)
+    assert codes.dtype == jnp.int8
+    g = 128
+    deq = (codes.reshape(32, 2, g).astype(jnp.float32)
+           * scales[..., None]).reshape(32, 256)
+    ref = Q.fake_quant_fp(x, fmt, granularity="per_group")
+    np.testing.assert_array_equal(np.asarray(deq), np.asarray(ref))
+    mult = P.CODE_MULT[fmt]
+    gmax = float(np.max(np.abs(P.G.GRIDS[fmt])))
+    assert int(jnp.max(jnp.abs(codes))) <= round(gmax * mult)
+
+
+@pytest.mark.parametrize("fmt", sorted(P.DUAL_CODE_MULT))
+def test_dual_int_codes_reproduce_fake_dual(fmt):
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 256)) * 0.9
+    cn, sn, cp, sp = P.quant_int_codes_dual(x, fmt)
+    deq = (cn.reshape(16, 2, 128).astype(jnp.float32) * sn[..., None]
+           + cp.reshape(16, 2, 128).astype(jnp.float32) * sp[..., None]
+           ).reshape(16, 256)
+    ref = Q.fake_quant_dual(x, fmt, granularity="per_group")
+    np.testing.assert_array_equal(np.asarray(deq), np.asarray(ref))
+
+
+def test_pack_int_codes_layout():
+    w = jax.random.normal(jax.random.PRNGKey(2), (256, 384))  # [N, K]
+    pw = P.pack_int_codes(w, "fp_e2")
+    assert pw.codes.shape == (384, 256)       # transposed [K, N]
+    assert pw.scales.shape == (3, 256)        # [G, N]
+    assert pw.shape == (256, 384)
+    # stacked variant keeps depth leading
+    ws = jax.random.normal(jax.random.PRNGKey(3), (2, 256, 384))
+    pws = P.pack_int_codes(ws, "fp_e2")
+    assert pws.codes.shape == (2, 384, 256)
+    assert pws.shape == (256, 384)
+    one = jax.tree_util.tree_map(lambda a: a[0], pws)
+    np.testing.assert_array_equal(
+        np.asarray(one.codes),
+        np.asarray(P.pack_int_codes(ws[0], "fp_e2").codes))
+
+
+def test_kernel_matches_jnp_reference_interpret():
+    """Pallas kernel (interpret mode on CPU) vs the exact jnp mirror."""
+    key = jax.random.PRNGKey(4)
+    m, k_dim, n = 64, 384, 256
+    x = jax.random.normal(key, (m, k_dim))
+    w = jax.random.normal(jax.random.fold_in(key, 1), (n, k_dim))
+    ac, asc = P.quant_int_codes(x, "fp_e2")
+    pw = P.pack_int_codes(w, "fp_e2")
+    ref = _jnp_reference(ac, asc, pw.codes, pw.scales, 128)
+    out = _int8_matmul_2d(ac, asc, pw.codes, pw.scales,
+                          group_size=128, n=n, k_dim=k_dim, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-5)
+
+
+def test_int8_linear_matches_fake_path():
+    """int8_linear == fake-quant activation @ fake-quant weight (f32)."""
+    key = jax.random.PRNGKey(5)
+    x = jax.random.normal(key, (4, 33, 256), jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(key, 1), (128, 256))
+    pw = P.pack_int_codes(w, "fp_e2")
+    got = int8_linear(x, pw)
+    xq = Q.fake_quant_fp(x, "fp_e2", granularity="per_group")
+    wq = Q.fake_quant_fp(w, "fp_e2", granularity="per_group")
+    ref = xq @ wq.T
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_int8_linear_dual_matches_fake_path():
+    key = jax.random.PRNGKey(6)
+    x = jnp.abs(jax.random.normal(key, (8, 256))) - 0.3   # GELU-ish skew
+    w = jax.random.normal(jax.random.fold_in(key, 1), (128, 256))
+    pw = P.pack_int_codes(w, "fp_e2")
+    got = int8_linear_dual(x, pw, "fp_e1m2_neg_e2m1_pos")
+    xq = Q.fake_quant_dual(x, "fp_e1m2_neg_e2m1_pos",
+                           granularity="per_group")
+    wq = Q.fake_quant_fp(w, "fp_e2", granularity="per_group")
+    ref = xq @ wq.T
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    from fpqvar_tpu.models.var import init_var_params
+    from fpqvar_tpu.models.vqvae import init_vqvae_params
+
+    vae_p = init_vqvae_params(jax.random.PRNGKey(0), TINY.vae)
+    var_p = init_var_params(jax.random.PRNGKey(1), TINY,
+                            adaln_gamma_std=0.02)
+    return vae_p, var_p
+
+
+def test_int8_generation_matches_fake(tiny_model):
+    """Full W4A4 recipe generation: int8 backend must sample the same images
+    as the fake backend (same quantized values, tighter arithmetic)."""
+    vae_p, var_p = tiny_model
+    key = jax.random.PRNGKey(7)
+    label = jnp.array([3, 5])
+
+    qcfg_fk = fpqvar_w4a4().replace(transform=False)
+    qp_fk = quantize_var_params(var_p, TINY, qcfg_fk)
+    img_fk = VARGenerator(TINY, qcfg_fk).generate(qp_fk, vae_p, label, key)
+
+    qcfg_i8 = qcfg_fk.replace(backend="int8")
+    qp_i8 = quantize_var_params(var_p, TINY, qcfg_i8)
+    img_i8 = VARGenerator(TINY, qcfg_i8).generate(qp_i8, vae_p, label, key)
+    assert not bool(jnp.isnan(img_i8).any())
+    # identical token trajectories => identical images (quantized values are
+    # bit-equal; only GEMM arithmetic differs, f32-exact vs f32-matmul)
+    np.testing.assert_allclose(np.asarray(img_i8), np.asarray(img_fk),
+                               atol=2e-2)
+
+
+def test_int8_backend_validation():
+    with pytest.raises(ValueError):
+        build_runtime(fpqvar_w4a4().replace(
+            backend="int8", act_quant="per_token"))
+    with pytest.raises(ValueError):
+        build_runtime(fpqvar_w4a4().replace(
+            backend="int8", act_format="fp6_e3m2", weight_format="fp6_e3m2"))
