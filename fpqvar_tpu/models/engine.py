@@ -54,6 +54,11 @@ class VARGenerator:
         self.gen = gen
         self.qrt = (qrt if qrt is not None
                     else build_runtime(qcfg, cfg.depth, cfg.width))
+        if mesh is not None and self.qrt is not None:
+            import dataclasses
+
+            # enable the shard_map'ed TP path for quantized-weight GEMMs
+            self.qrt = dataclasses.replace(self.qrt, mesh=mesh)
         self.cache_dtype = cache_dtype
         self.compute_dtype = compute_dtype
         self.statics = V.GenStatics.all_steps(cfg)

@@ -154,23 +154,34 @@ def block_forward(
         """Activation quant + linear for one layer kind.  int8-backend
         weights (IntPack) quantize to integer codes inside the kernel call;
         fake/packed paths apply the dequantizing act quantizer first.
+        Quantized-weight GEMMs run tensor-parallel when qrt.mesh is set
+        (Megatron column split for mat_qkv/fc1, row split for proj/fc2).
         Returns (y, activation-for-capture-tap)."""
         from fpqvar_tpu.ops.packing import DUAL_CODE_MULT, IntPack
 
+        par = "col" if kind in ("mat_qkv", "fc1") else "row"
+        mesh = qrt.mesh if qrt is not None else None
         if isinstance(w, IntPack):
             from fpqvar_tpu.ops.pallas.int8_matmul import (
                 int8_linear, int8_linear_dual)
 
             fmt_a = qrt.act_fmts.get(kind) or w.fmt
             if fmt_a in DUAL_CODE_MULT:
-                y = int8_linear_dual(xv, w, fmt_a)
+                y = int8_linear_dual(xv, w, fmt_a, mesh=mesh, parallel=par)
             else:
-                y = int8_linear(xv, w, fmt_a)
+                y = int8_linear(xv, w, fmt_a, mesh=mesh, parallel=par)
             if b is not None:
                 y = y + b.astype(y.dtype)
             return y, xv
         if aq.get(kind) is not None:
             xv = aq[kind](xv)
+        if isinstance(w, PackedTensor):
+            from fpqvar_tpu.ops.pallas.quant_matmul import packed_linear
+
+            y = packed_linear(xv, w, mesh=mesh, parallel=par)
+            if b is not None:
+                y = y + b.astype(y.dtype)
+            return y, xv
         return linear(xv, w, b), xv
 
     # ---- attention branch

@@ -130,28 +130,87 @@ def _use_kernel(n: int, k_dim: int, group_size: int) -> bool:
             and n % 128 == 0 and k_dim % group_size == 0)
 
 
+def _call(ac, asc, wc, ws, *, group_size, n, k_dim, force_jnp):
+    if force_jnp or not _use_kernel(n, k_dim, group_size):
+        return _jnp_reference(ac, asc, wc, ws, group_size)
+    return _int8_matmul_2d(ac, asc, wc, ws, group_size=group_size, n=n,
+                           k_dim=k_dim)
+
+
+def _shard_mapped(ac, asc, wcodes, wscales, *, mesh, parallel, group_size,
+                  n, k_dim, force_jnp):
+    """Tensor-parallel GEMM via jax.shard_map (the packed/int8 + TP
+    composition — codes and scales live SHARDED on the mesh, the kernel
+    runs on local shards, collectives ride the mesh):
+
+    - "col" (mat_qkv, fc1): weight output dim over tp, activations
+      replicated across tp, output tp-sharded (Megatron column parallel);
+    - "row" (proj, fc2): weight input dim over tp — activation code/scale
+      GROUPS split with it (group_size divides the local K) — one psum over
+      tp on the partial products (Megatron row parallel).
+
+    Batch rows ride the dp axis when present.  Returns None when the mesh /
+    shape constraints don't hold (caller falls back to the local path).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    tp = mesh.shape.get("tp", 1)
+    if tp <= 1:
+        return None
+    xr = "dp" if "dp" in mesh.axis_names else None
+    if xr is not None and ac.shape[0] % mesh.shape["dp"]:
+        xr = None
+    if parallel == "col" and n % (128 * tp) == 0:
+        fn = functools.partial(_call, group_size=group_size, n=n // tp,
+                               k_dim=k_dim, force_jnp=force_jnp)
+        return jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=(P(xr, None), P(xr, None),
+                      P(None, "tp"), P(None, "tp")),
+            out_specs=P(xr, "tp"),
+        )(ac, asc, wcodes, wscales)
+    if parallel == "row" and k_dim % (group_size * tp) == 0:
+        def fn(a, s, wc, ws):
+            local = _call(a, s, wc, ws, group_size=group_size, n=n,
+                          k_dim=k_dim // tp, force_jnp=force_jnp)
+            return jax.lax.psum(local, "tp")
+
+        return jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=(P(xr, "tp"), P(xr, "tp"),
+                      P("tp", None), P("tp", None)),
+            out_specs=P(xr, None),
+        )(ac, asc, wcodes, wscales)
+    return None
+
+
 def int8_linear(x, pw: P.IntPack, act_fmt: str = None, *,
-                force_jnp: bool = False):
+                mesh=None, parallel: str = None, force_jnp: bool = False):
     """Quantize activation to int codes + run the grouped int8 GEMM.
 
     x [..., K] unquantized (post-rotation/smoothing); pw holds the weight
     codes.  ``act_fmt`` defaults to the weight format (the recipe's W=A
-    pairing for mat_qkv/proj/fc1).  Returns [..., N] in x.dtype.
+    pairing for mat_qkv/proj/fc1).  With ``mesh`` + ``parallel`` the GEMM
+    runs tensor-parallel via shard_map (see _shard_mapped).  Returns
+    [..., N] in x.dtype.
     """
     n, k_dim = pw.shape[-2], pw.shape[-1]
     lead = x.shape[:-1]
     x2 = x.reshape(-1, k_dim)
     ac, asc = P.quant_int_codes(x2, act_fmt or pw.fmt, pw.group_size)
-    if force_jnp or not _use_kernel(n, k_dim, pw.group_size):
-        out = _jnp_reference(ac, asc, pw.codes, pw.scales, pw.group_size)
-    else:
-        out = _int8_matmul_2d(
-            ac, asc, pw.codes, pw.scales,
-            group_size=pw.group_size, n=n, k_dim=k_dim)
+    out = None
+    if mesh is not None and parallel is not None:
+        out = _shard_mapped(ac, asc, pw.codes, pw.scales, mesh=mesh,
+                            parallel=parallel, group_size=pw.group_size,
+                            n=n, k_dim=k_dim, force_jnp=force_jnp)
+    if out is None:
+        out = _call(ac, asc, pw.codes, pw.scales, group_size=pw.group_size,
+                    n=n, k_dim=k_dim, force_jnp=force_jnp)
     return out.reshape(lead + (n,)).astype(x.dtype)
 
 
 def int8_linear_dual(x, pw: P.IntPack, act_fmt: str, *,
+                     mesh=None, parallel: str = None,
                      force_jnp: bool = False):
     """fc2: dual-grid activation (separate neg/pos codes + scales) against
     single-grid weight codes — two grouped int8 GEMMs sharing the weight
@@ -160,12 +219,16 @@ def int8_linear_dual(x, pw: P.IntPack, act_fmt: str, *,
     lead = x.shape[:-1]
     x2 = x.reshape(-1, k_dim)
     cn, sn, cp, sp = P.quant_int_codes_dual(x2, act_fmt, pw.group_size)
-    if force_jnp or not _use_kernel(n, k_dim, pw.group_size):
-        out = (_jnp_reference(cn, sn, pw.codes, pw.scales, pw.group_size)
-               + _jnp_reference(cp, sp, pw.codes, pw.scales, pw.group_size))
-    else:
-        out = (_int8_matmul_2d(cn, sn, pw.codes, pw.scales,
-                               group_size=pw.group_size, n=n, k_dim=k_dim)
-               + _int8_matmul_2d(cp, sp, pw.codes, pw.scales,
-                                 group_size=pw.group_size, n=n, k_dim=k_dim))
-    return out.reshape(lead + (n,)).astype(x.dtype)
+    halves = []
+    for c, s in ((cn, sn), (cp, sp)):
+        out = None
+        if mesh is not None and parallel is not None:
+            out = _shard_mapped(c, s, pw.codes, pw.scales, mesh=mesh,
+                                parallel=parallel, group_size=pw.group_size,
+                                n=n, k_dim=k_dim, force_jnp=force_jnp)
+        if out is None:
+            out = _call(c, s, pw.codes, pw.scales,
+                        group_size=pw.group_size, n=n, k_dim=k_dim,
+                        force_jnp=force_jnp)
+        halves.append(out)
+    return (halves[0] + halves[1]).reshape(lead + (n,)).astype(x.dtype)

@@ -131,30 +131,68 @@ def _packed_matmul_2d(
     return out[:m] if m_pad != m else out
 
 
-def packed_linear(x, pw: P.PackedTensor, *, force_jnp: bool = False):
+def _packed_call(x2, codes, scales_t, *, fmt, group_size, n, k_dim, nibble,
+                 force_jnp):
+    usable = (
+        not force_jnp
+        and jax.default_backend() == "tpu"
+        and fmt in _DECODERS
+        and n % 128 == 0
+        and k_dim % group_size == 0
+    )
+    if usable:
+        return _packed_matmul_2d(
+            x2, codes, scales_t, fmt=fmt, group_size=group_size, n=n,
+            k_dim=k_dim, nibble=nibble)
+    pt = P.PackedTensor(codes, scales_t.T, fmt, (n, k_dim), group_size,
+                        nibble)
+    w = P.dequantize(pt, dtype=x2.dtype)
+    return (x2 @ w.T).astype(jnp.float32)
+
+
+def packed_linear(x, pw: P.PackedTensor, *, mesh=None, parallel: str = None,
+                  force_jnp: bool = False):
     """x [..., K] @ dequant(pw).T where pw encodes a [N, K] weight.
 
     On TPU uses the fused Pallas kernel (for supported formats / aligned
     shapes); elsewhere falls back to jnp dequant + matmul (bit-identical
-    result, used by the CPU test suite).
+    result, used by the CPU test suite).  With ``mesh`` + ``parallel``
+    ("col" for mat_qkv/fc1, "row" for proj/fc2) the GEMM runs
+    tensor-parallel via shard_map over tp-sharded codes/scales.
     """
+    from jax.sharding import PartitionSpec as PS
+
     n, k_dim = pw.shape
     lead = x.shape[:-1]
     x2 = x.reshape(-1, k_dim)
-    usable = (
-        not force_jnp
-        and jax.default_backend() == "tpu"
-        and pw.fmt in _DECODERS
-        and n % 128 == 0
-        and k_dim % pw.group_size == 0
-    )
-    if usable:
-        out = _packed_matmul_2d(
-            x2, pw.codes, pw.scales.astype(jnp.float32).T,
-            fmt=pw.fmt, group_size=pw.group_size, n=n, k_dim=k_dim,
-            nibble=pw.nibble_packed,
-        )
-    else:
-        w = P.dequantize(pw, dtype=x.dtype)
-        out = (x2 @ w.T).astype(jnp.float32)
+    scales_t = pw.scales.astype(jnp.float32).T          # [G, N]
+    call = functools.partial(
+        _packed_call, fmt=pw.fmt, group_size=pw.group_size,
+        nibble=pw.nibble_packed, force_jnp=force_jnp)
+    out = None
+    if mesh is not None and parallel is not None:
+        tp = mesh.shape.get("tp", 1)
+        xr = "dp" if ("dp" in mesh.axis_names
+                      and x2.shape[0] % mesh.shape.get("dp", 1) == 0) \
+            else None
+        if tp > 1 and parallel == "col" and n % (128 * tp) == 0:
+            out = jax.shard_map(
+                functools.partial(call, n=n // tp, k_dim=k_dim),
+                mesh=mesh,
+                in_specs=(PS(xr, None), PS("tp", None), PS(None, "tp")),
+                out_specs=PS(xr, "tp"),
+            )(x2, pw.codes, scales_t)
+        elif (tp > 1 and parallel == "row"
+              and k_dim % (pw.group_size * tp) == 0):
+            def fn(xs, cs, ss):
+                return jax.lax.psum(
+                    call(xs, cs, ss, n=n, k_dim=k_dim // tp), "tp")
+
+            out = jax.shard_map(
+                fn, mesh=mesh,
+                in_specs=(PS(xr, "tp"), PS(None, "tp"), PS("tp", None)),
+                out_specs=PS(xr, None),
+            )(x2, pw.codes, scales_t)
+    if out is None:
+        out = call(x2, pw.codes, scales_t, n=n, k_dim=k_dim)
     return out.reshape(lead + (n,)).astype(x.dtype)

@@ -21,12 +21,14 @@ replicated — they are tiny next to the four big matmuls.
 """
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from fpqvar_tpu.config import MeshConfig
-from fpqvar_tpu.ops.packing import PackedTensor
+from fpqvar_tpu.ops.packing import IntPack, PackedTensor
 
 
 def make_mesh(mcfg: MeshConfig, devices=None) -> Mesh:
@@ -66,28 +68,63 @@ def _path_keys(path):
     return out
 
 
+def _pack_shardings(key: str, pack, mesh: Mesh, tp: int):
+    """Shardings for a quantized-weight pack (depth-stacked leaves).
+
+    mat_qkv/fc1 are column-parallel (output dim over tp), proj/fc2
+    row-parallel (input dim / scale groups over tp) — matching the
+    shard_map'ed kernel paths in ops/pallas.  Falls back to replication
+    when tp doesn't divide the relevant 128-tile / scale-group counts.
+    """
+    col = key in ("mat_qkv_w", "fc1_w")
+    n, k_dim = pack.shape[-2], pack.shape[-1]
+    gs = pack.group_size
+    if isinstance(pack, IntPack):
+        # codes [d, K, N], scales [d, G, N]
+        ok = (n % (128 * tp) == 0) if col else (k_dim % (gs * tp) == 0)
+        spec = (P(None, None, "tp") if col else P(None, "tp", None)) \
+            if ok else P()
+        cs = ss = spec
+    else:
+        # PackedTensor codes [d, rows, K], scales [d, N, G]
+        ok = (n % (128 * tp) == 0) if col else (k_dim % (gs * tp) == 0)
+        if not ok:
+            cs = ss = P()
+        elif col:
+            cs = ss = P(None, "tp", None)
+        else:
+            cs = ss = P(None, None, "tp")
+    return dataclasses.replace(
+        pack, codes=NamedSharding(mesh, cs), scales=NamedSharding(mesh, ss))
+
+
 def param_shardings(params, mesh: Mesh):
-    """NamedSharding tree matching the params tree (leaf-for-leaf)."""
+    """NamedSharding tree matching the params tree (leaf-for-leaf;
+    quantized-weight packs get tp-sharded codes/scales)."""
+    tp = mesh.shape.get("tp", 1)
 
     def spec_for(path, leaf):
         keys = _path_keys(path)
+        if isinstance(leaf, (IntPack, PackedTensor)):
+            for k in keys:
+                if k in ("mat_qkv_w", "proj_w", "fc1_w", "fc2_w"):
+                    return _pack_shardings(k, leaf, mesh, tp)
+            return dataclasses.replace(
+                leaf, codes=NamedSharding(mesh, P()),
+                scales=NamedSharding(mesh, P()))
         spec = P()
         for i, k in enumerate(keys):
             if k in _BLOCK_SPECS:
-                nxt = keys[i + 1] if i + 1 < len(keys) else None
-                if isinstance(nxt, int):
-                    # PackedTensor child (codes/scales): keep replicated for
-                    # now — packed + TP requires a shard_map'ed kernel path.
-                    spec = P()
-                else:
-                    spec = _BLOCK_SPECS[k]
+                spec = _BLOCK_SPECS[k]
                 break
             if k == "head" and i + 1 < len(keys):
                 spec = _TOP_SPECS["head"].get(keys[i + 1], P())
                 break
         return NamedSharding(mesh, spec)
 
-    return jax.tree_util.tree_map_with_path(spec_for, params)
+    return jax.tree_util.tree_map_with_path(
+        spec_for, params,
+        is_leaf=lambda x: isinstance(x, (IntPack, PackedTensor)))
 
 
 def kv_cache_shardings(mesh: Mesh) -> NamedSharding:

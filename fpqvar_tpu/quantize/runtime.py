@@ -89,6 +89,10 @@ class QuantRuntime:
     rotation_block: Optional[jnp.ndarray] = None   # 128x128 block rotation
     rotation_full: Optional[jnp.ndarray] = None    # dense CxC rotation
     transform: bool = False
+    #: device mesh for the packed/int8 + TP composition: quantized-weight
+    #: GEMMs run shard_map'ed over tp-sharded codes/scales when set (see
+    #: ops/pallas/{int8_matmul,quant_matmul}._shard_mapped)
+    mesh: Optional[object] = None
 
     def for_block(self, i: int) -> "QuantRuntime":
         assert self.per_block_act_q is not None

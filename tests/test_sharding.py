@@ -76,6 +76,50 @@ def test_dryrun_entrypoints():
     g.dryrun_multichip(8)
 
 
+@pytest.mark.parametrize("backend", ["int8", "packed"])
+def test_quantized_tp_generation_matches_single_device(backend):
+    """Packed/int8 + TP composition: codes and scales live tp-SHARDED on
+    the mesh, GEMMs run shard_map'ed (column split mat_qkv/fc1, row split
+    proj/fc2 + psum), and generation must reproduce the single-device
+    images.  Width 256 so tp=2 divides the 128-tile and scale-group
+    counts."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from fpqvar_tpu.config import MeshConfig, fpqvar_w4a4
+    from fpqvar_tpu.models import VARGenerator
+    from fpqvar_tpu.models.var import init_var_params
+    from fpqvar_tpu.models.vqvae import init_vqvae_params
+    from fpqvar_tpu.ops.packing import IntPack, PackedTensor
+    from fpqvar_tpu.quantize import quantize_var_params
+
+    cfg = VARConfig(
+        depth=2, embed_dim=256, num_heads=2, patch_nums=(1, 2, 3),
+        vae=VQVAEConfig(vocab_size=256, z_channels=8, ch=16, ch_mult=(1, 2),
+                        num_res_blocks=1, patch_nums=(1, 2, 3)))
+    vae_p = init_vqvae_params(jax.random.PRNGKey(0), cfg.vae)
+    var_p = init_var_params(jax.random.PRNGKey(1), cfg, adaln_gamma_std=0.02)
+    qcfg = fpqvar_w4a4().replace(backend=backend, transform=False)
+    qp = quantize_var_params(var_p, cfg, qcfg)
+
+    labels = jnp.arange(2, dtype=jnp.int32)
+    key = jax.random.PRNGKey(5)
+    ref = VARGenerator(cfg, qcfg).generate(qp, vae_p, labels, key)
+
+    mesh = make_mesh(MeshConfig(dp=2, tp=2))
+    sp = shard_params(qp, mesh)
+    # the pack leaves must actually be tp-sharded, not replicated
+    w = sp["blocks"]["mat_qkv_w"]
+    assert isinstance(w, (IntPack, PackedTensor))
+    assert "tp" in str(w.codes.sharding.spec)
+    gen = VARGenerator(cfg, qcfg, mesh=mesh)
+    labels_sh = jax.device_put(labels, NamedSharding(mesh, P("dp")))
+    with mesh:
+        out = gen.generate(sp, vae_p, labels_sh, key)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
+
+
 def test_sharded_generation_matches_single_device(model):
     """Full generation with dp/tp-sharded params + dp-sharded labels must
     reproduce single-device images (jit propagates shardings through the
