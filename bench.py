@@ -44,6 +44,14 @@ def build(preset: str):
     elif preset == "d16":
         cfg = VARConfig(depth=16)
         batch = 8
+    elif preset == "d36":
+        # 512x512 model: L=2240, C=2304, shared AdaLN
+        # (`evaluate_fp_quant_transform_rotate_512x512.py:54-70`); batch 2
+        # keeps the dense-KV variant inside 16GB HBM for the comparison
+        from fpqvar_tpu.config import var_d36_512
+
+        cfg = var_d36_512()
+        batch = 2
     else:
         cfg = VARConfig(depth=30)
         batch = 8
@@ -64,13 +72,25 @@ def time_generate(gen, params, vae_params, label, key, rounds=3):
     return label.shape[0] / dt
 
 
+def peak_hbm_gb():
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        return round(stats.get("peak_bytes_in_use", 0) / 2**30, 3)
+    except Exception:
+        return None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="d30",
-                    choices=["tiny", "d16", "d30"])
+                    choices=["tiny", "d16", "d30", "d36"])
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--batch", type=int, default=None,
                     help="override preset batch size")
+    ap.add_argument("--modes", type=str, default=None,
+                    help="comma list from bf16,fake,int8,packed,int8kv "
+                         "(default: bf16,fake,int8,packed; d36 preset adds "
+                         "int8kv — int8 GEMMs + packed int8 KV cache)")
     args = ap.parse_args()
 
     from fpqvar_tpu.config import GenerateConfig, QuantConfig, fpqvar_w4a4
@@ -111,51 +131,64 @@ def main():
                 leaf.delete()
 
     var_host = jax.tree_util.tree_map(np.asarray, var_p)
-    qcfg_pk = fpqvar_w4a4().replace(backend="packed", transform=False)
-    qcfg_fk = fpqvar_w4a4().replace(transform=False)
-    qcfg_i8 = fpqvar_w4a4().replace(backend="int8", transform=False)
+    # transform=True with unit vectors: random-init weights but the ONLINE
+    # GALT multiply cost is included — the benched program is the full
+    # flagship recipe, not a lighter variant
+    base = fpqvar_w4a4()
+    galt = (np.ones((cfg.depth, cfg.width), np.float32),
+            np.ones((cfg.depth, cfg.width), np.float32))
+    mode_cfgs = {
+        "bf16": QuantConfig(),
+        "fake": base,
+        "int8": base.replace(backend="int8"),
+        "packed": base.replace(backend="packed"),
+        # int8 GEMMs + packed int8 KV cache (per-token e2m1 codes + scales;
+        # the HBM-capacity recipe for d36-512's L=2240 cache)
+        "int8kv": base.replace(backend="int8", kv_bit=4,
+                               kv_backend="packed"),
+    }
+    if args.modes:
+        modes = args.modes.split(",")
+    else:
+        modes = ["bf16", "fake", "int8", "packed"]
+        if args.preset == "d36":
+            modes.append("int8kv")
 
-    var_dev = jax.device_put(var_host, dev)
-    gen_bf16 = VARGenerator(cfg, QuantConfig(), gen_cfg)
-    ips_bf16 = time_generate(gen_bf16, var_dev, vae_p, label, key, args.rounds)
-    print(f"# bf16: {ips_bf16:.3f} images/sec", file=sys.stderr)
-    free(var_dev)
+    results, hbm = {}, {}
+    for mode in modes:
+        qcfg_m = mode_cfgs[mode]
+        if mode == "bf16":
+            params = jax.device_put(var_host, dev)
+        else:
+            qp = quantize_var_params(var_host, cfg, qcfg_m, galt=galt)
+            if qcfg_m.backend == "fake":
+                qp = jax.tree_util.tree_map(
+                    lambda a: a.astype(jnp.bfloat16)
+                    if hasattr(a, "dtype") and a.dtype == jnp.float32
+                    else a, qp)
+            params = jax.device_put(
+                jax.tree_util.tree_map(np.asarray, qp), dev)
+        gen = VARGenerator(cfg, qcfg_m, gen_cfg)
+        results[mode] = time_generate(gen, params, vae_p, label, key,
+                                      args.rounds)
+        hbm[mode] = peak_hbm_gb()
+        print(f"# {mode}: {results[mode]:.3f} images/sec "
+              f"(peak HBM {hbm[mode]} GB)", file=sys.stderr)
+        free(params)
 
-    qp_fk = quantize_var_params(var_host, cfg, qcfg_fk)
-    qp_fk = jax.tree_util.tree_map(
-        lambda a: a.astype(jnp.bfloat16)
-        if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, qp_fk)
-    gen_fk = VARGenerator(cfg, qcfg_fk, gen_cfg)
-    ips_fk = time_generate(gen_fk, qp_fk, vae_p, label, key, args.rounds)
-    print(f"# fp4-fake(W4A4 bf16-gemm): {ips_fk:.3f} images/sec",
-          file=sys.stderr)
-    free(qp_fk)
-
-    qp_i8 = quantize_var_params(var_host, cfg, qcfg_i8)
-    gen_i8 = VARGenerator(cfg, qcfg_i8, gen_cfg)
-    ips_i8 = time_generate(gen_i8, qp_i8, vae_p, label, key, args.rounds)
-    print(f"# fp4-int8(grouped int8-MXU GEMM): {ips_i8:.3f} images/sec",
-          file=sys.stderr)
-    free(qp_i8)
-
-    qp_pk = quantize_var_params(var_host, cfg, qcfg_pk)
-    gen_pk = VARGenerator(cfg, qcfg_pk, gen_cfg)
-    ips_pk = time_generate(gen_pk, qp_pk, vae_p, label, key, args.rounds)
-    print(f"# fp4-packed: {ips_pk:.3f} images/sec", file=sys.stderr)
-    free(qp_pk)
-
-    best_name, ips_fp4 = max(
-        (("fake", ips_fk), ("packed", ips_pk), ("int8", ips_i8)),
-        key=lambda t: t[1])
+    ips_bf16 = results.get("bf16")
+    quant = {k: v for k, v in results.items() if k != "bf16"}
+    best_name, ips_fp4 = max(quant.items(), key=lambda t: t[1])
+    detail = ", ".join(f"{k}={v:.3f}" for k, v in results.items())
+    res = "512x512" if args.preset == "d36" else "256x256"
     print(json.dumps({
-        "metric": f"images/sec/chip VAR-{args.preset} FP4 W4A4 256x256 "
+        "metric": f"images/sec/chip VAR-{args.preset} FP4 W4A4 {res} "
                   f"(e2m1 per-group-128 + block-Hadamard + fc2 dual-grid; "
                   f"best mode={best_name}; batch {batch}, cfg-doubled; "
-                  f"bf16={ips_bf16:.3f}, fake={ips_fk:.3f}, "
-                  f"int8={ips_i8:.3f}, packed={ips_pk:.3f})",
+                  f"{detail}; peak_hbm_gb={hbm})",
         "value": round(ips_fp4, 4),
         "unit": "images/sec/chip",
-        "vs_baseline": round(ips_fp4 / ips_bf16, 4),
+        "vs_baseline": round(ips_fp4 / ips_bf16, 4) if ips_bf16 else None,
     }))
 
 

@@ -55,10 +55,10 @@ def generate_eval_set(
     t0 = time.time()
     done = 0
     for ci in classes:
-        last = os.path.join(
-            out_dir, f"class{ci}_img{num_img_per_class - 1}.png")
-        if os.path.exists(last):
-            continue  # resume: PNGs on disk are the checkpoint
+        if all(os.path.exists(os.path.join(out_dir, f"class{ci}_img{i}.png"))
+               for i in range(num_img_per_class)):
+            continue  # resume: the class's COMPLETE PNG set is the
+            #             checkpoint (a partial crash re-runs the class)
         produced = 0
         while produced < num_img_per_class:
             b = min(batch, num_img_per_class - produced)

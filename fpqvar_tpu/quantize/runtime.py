@@ -31,13 +31,21 @@ LAYER_KINDS = ("mat_qkv", "proj", "fc1", "fc2")
 @dataclass(frozen=True)
 class KVCodec:
     """Packed KV-cache codec: per-token absmax scaling onto a value grid,
-    codes stored int8.  decode(encode(x)) is bit-identical to the fake
-    per-token grid quantizer, so packed and fake "store"-mode caches agree
-    exactly (tested)."""
+    codes stored int8.
+
+    For formats with an integer-value representation (ops.packing.CODE_MULT
+    — the recipe's fp_e2 / fp6_e2m3), codes are the grid VALUES times a
+    power of two and the scale absorbs the multiplier: decode is a single
+    multiply, and attention can consume the codes DIRECTLY, folding the
+    per-token scale into the score matrix / softmax weights instead of
+    materializing a dequantized cache (see models/var.py packed-KV
+    attention).  decode(encode(x)) equals the fake per-token grid quantizer
+    bit-wise (exact power-of-two rescale)."""
 
     fmt: str
     encode: Callable       # x [...,c] -> (codes int8, scales f32 [...,1])
     decode: Callable       # (codes, scales) -> values
+    value_codes: bool      # True -> value = codes * scales (fold-friendly)
 
 
 def make_kv_codec(fmt: str) -> KVCodec:
@@ -49,6 +57,21 @@ def make_kv_codec(fmt: str) -> KVCodec:
     grid = G.GRIDS[fmt]
     gmax = float(np.max(np.abs(grid)))
     gj = jnp.asarray(grid)
+    mult = P.CODE_MULT.get(fmt)
+
+    if mult is not None:
+        def encode(x):
+            xf = x.astype(jnp.float32)
+            amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+            scales = jnp.where(amax > 0, amax / gmax, 1.0)
+            snapped = Q.snap_to_grid(xf / scales, grid)
+            codes = jnp.round(snapped * mult).astype(jnp.int8)
+            return codes, scales / mult
+
+        def decode(codes, scales):
+            return codes.astype(scales.dtype) * scales
+
+        return KVCodec(fmt, encode, decode, True)
 
     def encode(x):
         xf = x.astype(jnp.float32)
@@ -57,20 +80,13 @@ def make_kv_codec(fmt: str) -> KVCodec:
         codes = P.encode_to_grid(xf / scales, grid).astype(jnp.int8)
         return codes, scales
 
-    from fpqvar_tpu.ops.packing import decode_fp4_e2m1, decode_fp6_e2m3
-
-    arith = {"fp_e2": decode_fp4_e2m1, "fp6_e2m3": decode_fp6_e2m3}.get(fmt)
-
     def decode(codes, scales):
-        if arith is not None:
-            # branch-free arithmetic decode — no TPU gather in the hot loop
-            return arith(codes.astype(jnp.int32)) * scales
         # generic grids: one-hot contraction instead of a gather
         oh = jax.nn.one_hot(codes.astype(jnp.int32), len(grid),
                             dtype=scales.dtype)
         return (oh @ gj.astype(scales.dtype)) * scales
 
-    return KVCodec(fmt, encode, decode)
+    return KVCodec(fmt, encode, decode, False)
 
 
 @dataclass(frozen=True)
