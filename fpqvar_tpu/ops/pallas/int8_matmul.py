@@ -35,6 +35,14 @@ def _kernel(ac_ref, as_ref, wc_ref, ws_ref, out_ref, *, group, bkg,
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
+    # dynamic per-group scale rows/columns via iota-mask + reduce — Mosaic
+    # cannot prove alignment for a dynamic single-lane / single-sublane
+    # slice, but masked reductions vectorize fine
+    as_all = as_ref[:]                               # [bm, G_total]
+    ws_all = ws_ref[:]                               # [G_total, bn]
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, as_all.shape, 1)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, ws_all.shape, 0)
+
     acc = jnp.zeros(out_ref.shape, jnp.float32)
     for gi in range(bkg):
         a = ac_ref[:, group * gi: group * (gi + 1)]
@@ -49,8 +57,10 @@ def _kernel(ac_ref, as_ref, wc_ref, ws_ref, out_ref, *, group, bkg,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
         g_idx = kk * bkg + gi
-        sa = as_ref[:, pl.ds(g_idx, 1)]             # [bm, 1] f32
-        sw = ws_ref[pl.ds(g_idx, 1), :]             # [1, bn] f32
+        sa = jnp.sum(jnp.where(lane_ids == g_idx, as_all, 0.0),
+                     axis=1, keepdims=True)          # [bm, 1]
+        sw = jnp.sum(jnp.where(row_ids == g_idx, ws_all, 0.0),
+                     axis=0, keepdims=True)          # [1, bn]
         acc = acc + part * sa * sw
     out_ref[:] += acc
 
