@@ -112,6 +112,77 @@ BASELINES = {
 }
 
 
+def rotated_matmul_mse(
+    x: Array, w: Array, quantize, rotation: Array = None,
+) -> float:
+    """MSE(x W^T, Q(xR) Q(WR)^T) — one cell of the rotation-aware baseline
+    study (`search/baseline/search_fp6_format_for_activation_rotate.py:
+    587-600`: quantize the ROTATED pair, compare against the exact
+    unrotated product).  ``rotation=None`` gives the plain sweep."""
+    ref = x @ w.T
+    if rotation is not None:
+        r = rotation.astype(x.dtype)
+        x = x @ r
+        w = w @ r
+    qx = quantize(x)
+    qw = quantize(w)
+    return float(jnp.mean((ref - qx @ qw.T) ** 2))
+
+
+#: method registry for the rotation-aware sweep: the paper's fp formats plus
+#: the baseline zoo, all as x -> quantized(x) closures
+def _sweep_methods(n_bits: int, group_size: int):
+    gran = dict(granularity="per_group", group_size=group_size)
+    methods = {
+        "int_rtn": partial(Q.fake_quant_int_sym, n_bits=n_bits, **gran),
+        "du": partial(du_quantizer, n_bits=n_bits, **gran),
+        "flint": partial(flint_quant, granularity="per_group",
+                         group_size=group_size),
+    }
+    if n_bits == 4:
+        for f in ("fp_e1", "fp_e2", "fp_e3"):
+            methods[f] = partial(Q.fake_quant_fp, fmt=f, **gran)
+        methods["fp4_afpq"] = partial(Q.fake_quant_dual, fmt="fp4_afpq",
+                                      **gran)
+    else:
+        for f in ("fp6_e2m3", "fp6_e3m2"):
+            methods[f] = partial(Q.fake_quant_fp, fmt=f, **gran)
+    return methods
+
+
+def rotation_aware_sweep(
+    acts: np.ndarray,           # [N, C] calibration activations
+    weight: np.ndarray,         # [out, C]
+    n_bits: int = 4,
+    group_size: int = 128,
+    block_rotate: bool = True,
+    rotation_seed: int = 42,
+) -> Dict[str, Dict[str, float]]:
+    """The `--block_rotate` baseline comparison: per method, matmul-output
+    MSE with and without Hadamard rotation (block-diagonal or full-size,
+    matching `rotate_utils`).  Reproduces the study the reference's
+    `search/baseline/*_for_activation_rotate.py` scripts run per block."""
+    from fpqvar_tpu.ops import hadamard as H
+
+    x = jnp.asarray(acts, jnp.float32)
+    w = jnp.asarray(weight, jnp.float32)
+    c = x.shape[-1]
+    if block_rotate:
+        qb = jnp.asarray(H.block_hadamard_block(128, rotation_seed),
+                         jnp.float32)
+        rot = jnp.kron(jnp.eye(c // 128, dtype=jnp.float32), qb)
+    else:
+        rot = jnp.asarray(H.random_hadamard_matrix(c, rotation_seed),
+                          jnp.float32)
+    out: Dict[str, Dict[str, float]] = {}
+    for name, fn in _sweep_methods(n_bits, group_size).items():
+        out[name] = {
+            "plain": rotated_matmul_mse(x, w, fn),
+            "rotated": rotated_matmul_mse(x, w, fn, rot),
+        }
+    return out
+
+
 def compare_baselines(
     x: np.ndarray, n_bits: int = 4, group_size: int = 128
 ) -> Dict[str, float]:

@@ -49,3 +49,23 @@ def test_compare_baselines_returns_all():
     res = B.compare_baselines(x)
     assert set(res) == set(B.BASELINES)
     assert all(np.isfinite(v) for v in res.values())
+
+
+def test_rotation_aware_sweep_structure_and_outlier_win():
+    """The --block_rotate baseline study (`search/baseline/
+    *_for_activation_rotate.py`): every method gets a plain and a rotated
+    MSE; with planted per-channel outliers, rotation must reduce the
+    per-group fp4 error (the paper's motivation)."""
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(128, 256)).astype(np.float32)
+    x[:, [7, 130]] *= 12.0                       # outlier channels
+    w = (rng.normal(size=(64, 256)) * 0.05).astype(np.float32)
+    res = B.rotation_aware_sweep(x, w, n_bits=4)
+    for name, cells in res.items():
+        assert set(cells) == {"plain", "rotated"}
+        assert all(np.isfinite(v) for v in cells.values()), name
+    assert res["fp_e2"]["rotated"] < res["fp_e2"]["plain"], res["fp_e2"]
+
+    res6 = B.rotation_aware_sweep(x, w, n_bits=6, block_rotate=False)
+    assert "fp6_e2m3" in res6 and "fp6_e3m2" in res6
+    assert res6["fp6_e2m3"]["rotated"] < res6["fp6_e2m3"]["plain"]
