@@ -20,7 +20,7 @@ from typing import Dict, Tuple
 import numpy as np
 
 from fpqvar_tpu.config import VARConfig, VQVAEConfig
-from fpqvar_tpu.ops.packing import PackedTensor
+from fpqvar_tpu.ops.packing import IntPack, PackedTensor
 
 
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
@@ -222,6 +222,12 @@ def _flatten(tree, prefix=""):
                         "group_size": tree.group_size,
                         "nibble_packed": tree.nibble_packed}).encode(),
             np.uint8)
+    elif isinstance(tree, IntPack):
+        out[prefix + "__intpack_codes"] = np.asarray(tree.codes)
+        out[prefix + "__intpack_scales"] = np.asarray(tree.scales)
+        out[prefix + "__intpack_meta"] = np.frombuffer(
+            json.dumps({"fmt": tree.fmt, "shape": list(tree.shape),
+                        "group_size": tree.group_size}).encode(), np.uint8)
     else:
         out[prefix.rstrip("/")] = np.asarray(tree)
     return out
@@ -237,9 +243,9 @@ def load_params(path: str) -> dict:
     packed = {}
     plain = {}
     for k, v in flat.items():
-        m = re.match(r"(.*)/__packed_(codes|scales|meta)$", k)
+        m = re.match(r"(.*)/__(packed|intpack)_(codes|scales|meta)$", k)
         if m:
-            packed.setdefault(m.group(1), {})[m.group(2)] = v
+            packed.setdefault((m.group(1), m.group(2)), {})[m.group(3)] = v
         else:
             plain[k] = v
 
@@ -253,12 +259,17 @@ def load_params(path: str) -> dict:
 
     for k, v in plain.items():
         insert(k.split("/"), v)
-    for k, parts in packed.items():
+    for (k, kind), parts in packed.items():
         meta = json.loads(bytes(parts["meta"]).decode())
-        insert(k.split("/"), PackedTensor(
-            parts["codes"], parts["scales"], meta["fmt"],
-            tuple(meta["shape"]), meta["group_size"],
-            meta.get("nibble_packed", False)))
+        if kind == "intpack":
+            insert(k.split("/"), IntPack(
+                parts["codes"], parts["scales"], meta["fmt"],
+                tuple(meta["shape"]), meta["group_size"]))
+        else:
+            insert(k.split("/"), PackedTensor(
+                parts["codes"], parts["scales"], meta["fmt"],
+                tuple(meta["shape"]), meta["group_size"],
+                meta.get("nibble_packed", False)))
 
     def listify(node):
         if isinstance(node, dict):

@@ -117,3 +117,24 @@ def test_npz_roundtrip_with_packed(tmp_path):
     assert p.fmt == "fp_e2" and p.shape == (4, 256)
     np.testing.assert_array_equal(
         np.asarray(p.codes), np.asarray(tree["blocks"]["packed"].codes))
+
+
+def test_intpack_roundtrip(tmp_path):
+    """int8-backend checkpoints (IntPack leaves) persist and reload."""
+    import jax
+
+    from fpqvar_tpu.ops import packing as P
+    from fpqvar_tpu.utils.checkpoint import load_params, save_params
+
+    w = jax.random.normal(jax.random.PRNGKey(0), (2, 128, 256))
+    pw = P.pack_int_codes(w, "fp_e2")
+    tree = {"blocks": {"mat_qkv_w": pw, "bias": np.zeros((2, 4), np.float32)}}
+    path = str(tmp_path / "ck.npz")
+    save_params(path, tree)
+    back = load_params(path)
+    got = back["blocks"]["mat_qkv_w"]
+    assert isinstance(got, P.IntPack)
+    assert got.fmt == "fp_e2" and got.shape == pw.shape
+    np.testing.assert_array_equal(np.asarray(got.codes), np.asarray(pw.codes))
+    np.testing.assert_array_equal(np.asarray(got.scales),
+                                  np.asarray(pw.scales))
