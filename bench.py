@@ -72,6 +72,30 @@ def time_generate(gen, params, vae_params, label, key, rounds=3):
     return label.shape[0] / dt
 
 
+def time_modes_interleaved(runs, vae_params, label, key, rounds=3):
+    """{name: (generator, params)} -> {name: images/sec}.
+
+    Rounds are INTERLEAVED across modes (mode A round 0, mode B round 0,
+    ..., mode A round 1, ...): the remote-TPU relay's throughput drifts by
+    up to 3-4x over minutes, so sequential per-mode timing produces bogus
+    ratios — a paired design keeps each mode's samples spread over the
+    same drift window."""
+    for name, (gen, params) in runs.items():
+        gen.generate(params, vae_params, label, key).block_until_ready()
+        print(f"# compiled {name}", file=sys.stderr, flush=True)
+    totals = {name: 0.0 for name in runs}
+    for i in range(rounds):
+        for j, (name, (gen, params)) in enumerate(runs.items()):
+            k = jax.random.fold_in(key, 1 + i * len(runs) + j)
+            t0 = time.perf_counter()
+            imgs = gen.generate(params, vae_params, label, k)
+            imgs.block_until_ready()
+            totals[name] += time.perf_counter() - t0
+            assert not bool(jnp.isnan(imgs).any()), f"NaN in {name}"
+    b = label.shape[0]
+    return {name: b * rounds / t for name, t in totals.items()}
+
+
 def peak_hbm_gb():
     try:
         stats = jax.devices()[0].memory_stats() or {}
@@ -149,12 +173,16 @@ def main():
     }
     if args.modes:
         modes = args.modes.split(",")
+    elif args.preset == "d36":
+        # keep the simultaneous param footprint inside 16GB HBM: bf16 +
+        # two int8-code sets (the fake/packed variants are covered at d30)
+        modes = ["bf16", "int8", "int8kv"]
     else:
         modes = ["bf16", "fake", "int8", "packed"]
-        if args.preset == "d36":
-            modes.append("int8kv")
 
-    results, hbm = {}, {}
+    # all modes' params live on-device at once so their rounds can be
+    # interleaved (relay drift robustness, see time_modes_interleaved)
+    runs = {}
     for mode in modes:
         qcfg_m = mode_cfgs[mode]
         if mode == "bf16":
@@ -168,12 +196,13 @@ def main():
                     else a, qp)
             params = jax.device_put(
                 jax.tree_util.tree_map(np.asarray, qp), dev)
-        gen = VARGenerator(cfg, qcfg_m, gen_cfg)
-        results[mode] = time_generate(gen, params, vae_p, label, key,
-                                      args.rounds)
-        hbm[mode] = peak_hbm_gb()
-        print(f"# {mode}: {results[mode]:.3f} images/sec "
-              f"(peak HBM {hbm[mode]} GB)", file=sys.stderr)
+        runs[mode] = (VARGenerator(cfg, qcfg_m, gen_cfg), params)
+
+    results = time_modes_interleaved(runs, vae_p, label, key, args.rounds)
+    hbm = {"all_modes_resident": peak_hbm_gb()}
+    for mode, ips in results.items():
+        print(f"# {mode}: {ips:.3f} images/sec", file=sys.stderr)
+    for _, params in runs.values():
         free(params)
 
     ips_bf16 = results.get("bf16")
