@@ -72,28 +72,6 @@ def time_generate(gen, params, vae_params, label, key, rounds=3):
     return label.shape[0] / dt
 
 
-def time_modes_interleaved(runs, vae_params, label, key, rounds=3):
-    """{name: (generator, params)} -> {name: images/sec}.
-
-    Rounds are INTERLEAVED across modes (mode A round 0, mode B round 0,
-    ..., mode A round 1, ...): the remote-TPU relay's throughput drifts by
-    up to 3-4x over minutes, so sequential per-mode timing produces bogus
-    ratios — a paired design keeps each mode's samples spread over the
-    same drift window."""
-    for name, (gen, params) in runs.items():
-        gen.generate(params, vae_params, label, key).block_until_ready()
-        print(f"# compiled {name}", file=sys.stderr, flush=True)
-    totals = {name: 0.0 for name in runs}
-    for i in range(rounds):
-        for j, (name, (gen, params)) in enumerate(runs.items()):
-            k = jax.random.fold_in(key, 1 + i * len(runs) + j)
-            t0 = time.perf_counter()
-            imgs = gen.generate(params, vae_params, label, k)
-            imgs.block_until_ready()
-            totals[name] += time.perf_counter() - t0
-            assert not bool(jnp.isnan(imgs).any()), f"NaN in {name}"
-    b = label.shape[0]
-    return {name: b * rounds / t for name, t in totals.items()}
 
 
 def peak_hbm_gb():
@@ -174,18 +152,23 @@ def main():
     if args.modes:
         modes = args.modes.split(",")
     elif args.preset == "d36":
-        # keep the simultaneous param footprint inside 16GB HBM: bf16 +
-        # two int8-code sets (the fake/packed variants are covered at d30)
         modes = ["bf16", "int8", "int8kv"]
     else:
         modes = ["bf16", "fake", "int8", "packed"]
 
-    # all modes' params live on-device at once so their rounds can be
-    # interleaved (relay drift robustness, see time_modes_interleaved)
-    runs = {}
+    # The remote-TPU relay's throughput drifts up to 3-4x over minutes, and
+    # at d30 batch 8 only ONE param set + program workspace fits in 16GB
+    # HBM, so modes can't be co-resident and round-interleaved.  Instead
+    # the sequence is BRACKETED: bf16 is re-measured at the end, the
+    # quantized ratios are taken against the bf16 mean, and the measured
+    # drift is reported in the metric string.
+    if "bf16" in modes and len(modes) > 1:
+        modes = modes + ["bf16/2"]
+
+    results, hbm = {}, {}
     for mode in modes:
-        qcfg_m = mode_cfgs[mode]
-        if mode == "bf16":
+        qcfg_m = mode_cfgs[mode.split("/")[0]]
+        if mode.split("/")[0] == "bf16":
             params = jax.device_put(var_host, dev)
         else:
             qp = quantize_var_params(var_host, cfg, qcfg_m, galt=galt)
@@ -196,17 +179,22 @@ def main():
                     else a, qp)
             params = jax.device_put(
                 jax.tree_util.tree_map(np.asarray, qp), dev)
-        runs[mode] = (VARGenerator(cfg, qcfg_m, gen_cfg), params)
-
-    results = time_modes_interleaved(runs, vae_p, label, key, args.rounds)
-    hbm = {"all_modes_resident": peak_hbm_gb()}
-    for mode, ips in results.items():
-        print(f"# {mode}: {ips:.3f} images/sec", file=sys.stderr)
-    for _, params in runs.values():
+        gen = VARGenerator(cfg, qcfg_m, gen_cfg)
+        results[mode] = time_generate(gen, params, vae_p, label, key,
+                                      args.rounds)
+        hbm[mode] = peak_hbm_gb()
+        print(f"# {mode}: {results[mode]:.3f} images/sec "
+              f"(peak HBM {hbm[mode]} GB)", file=sys.stderr, flush=True)
         free(params)
 
-    ips_bf16 = results.get("bf16")
-    quant = {k: v for k, v in results.items() if k != "bf16"}
+    bf16_samples = [v for k, v in results.items()
+                    if k.split("/")[0] == "bf16"]
+    ips_bf16 = (sum(bf16_samples) / len(bf16_samples)
+                if bf16_samples else None)
+    drift = (round(max(bf16_samples) / min(bf16_samples), 3)
+             if len(bf16_samples) > 1 else None)
+    quant = {k: v for k, v in results.items()
+             if k.split("/")[0] != "bf16"}
     best_name, ips_fp4 = max(quant.items(), key=lambda t: t[1])
     detail = ", ".join(f"{k}={v:.3f}" for k, v in results.items())
     res = "512x512" if args.preset == "d36" else "256x256"
@@ -214,7 +202,9 @@ def main():
         "metric": f"images/sec/chip VAR-{args.preset} FP4 W4A4 {res} "
                   f"(e2m1 per-group-128 + block-Hadamard + fc2 dual-grid; "
                   f"best mode={best_name}; batch {batch}, cfg-doubled; "
-                  f"{detail}; peak_hbm_gb={hbm})",
+                  f"{detail}; bf16_drift={drift}; vs_baseline uses the "
+                  f"bracketing bf16 mean — relay throughput drifts "
+                  f"between measurements)",
         "value": round(ips_fp4, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips_fp4 / ips_bf16, 4) if ips_bf16 else None,
