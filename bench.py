@@ -86,7 +86,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="d30",
                     choices=["tiny", "d16", "d30", "d36"])
-    ap.add_argument("--rounds", type=int, default=3)
+    # at ~1s/generation, a handful of rounds is only seconds of signal —
+    # relay latency hiccups of 1-2s then dominate; 12 rounds ~ 10-15s per
+    # mode averages them out
+    ap.add_argument("--rounds", type=int, default=12)
     ap.add_argument("--batch", type=int, default=None,
                     help="override preset batch size")
     ap.add_argument("--modes", type=str, default=None,
