@@ -93,9 +93,10 @@ def main():
     ap.add_argument("--batch", type=int, default=None,
                     help="override preset batch size")
     ap.add_argument("--modes", type=str, default=None,
-                    help="comma list from bf16,fake,int8,packed,int8kv "
-                         "(default: bf16,fake,int8,packed; d36 preset adds "
-                         "int8kv — int8 GEMMs + packed int8 KV cache)")
+                    help="comma list from bf16,fake,int8,int8ch,packed,"
+                         "int8kv (default: bf16,fake,int8ch,packed; d36 "
+                         "preset adds int8kv — int8 GEMMs + packed int8 "
+                         "KV cache)")
     args = ap.parse_args()
 
     from fpqvar_tpu.config import GenerateConfig, QuantConfig, fpqvar_w4a4
@@ -146,6 +147,12 @@ def main():
         "bf16": QuantConfig(),
         "fake": base,
         "int8": base.replace(backend="int8"),
+        # int8ch: per-channel weight / per-token act scales -> ONE full-K
+        # int8 MXU dot per GEMM, scales applied once outside the
+        # contraction (roofline: full-K int8 runs 1.33x the bf16 rate on
+        # v5e; per-group scaling erases that — scripts/kernel_roofline.py)
+        "int8ch": base.replace(backend="int8", weight_quant="per_channel",
+                               act_quant="per_token"),
         "packed": base.replace(backend="packed"),
         # int8 GEMMs + packed int8 KV cache (per-token e2m1 codes + scales;
         # the HBM-capacity recipe for d36-512's L=2240 cache)
@@ -157,7 +164,7 @@ def main():
     elif args.preset == "d36":
         modes = ["bf16", "int8", "int8kv"]
     else:
-        modes = ["bf16", "fake", "int8", "packed"]
+        modes = ["bf16", "fake", "int8", "int8ch", "packed"]
 
     # The remote-TPU relay's throughput drifts up to 3-4x over minutes, and
     # at d30 batch 8 only ONE param set + program workspace fits in 16GB
@@ -203,7 +210,8 @@ def main():
     res = "512x512" if args.preset == "d36" else "256x256"
     print(json.dumps({
         "metric": f"images/sec/chip VAR-{args.preset} FP4 W4A4 {res} "
-                  f"(e2m1 per-group-128 + block-Hadamard + fc2 dual-grid; "
+                  f"(e2m1 + block-Hadamard + fc2 dual-grid; scales "
+                  f"per-group-128 except int8ch=per-channel/per-token; "
                   f"best mode={best_name}; batch {batch}, cfg-doubled; "
                   f"{detail}; bf16_drift={drift}; vs_baseline uses the "
                   f"bracketing bf16 mean — relay throughput drifts "

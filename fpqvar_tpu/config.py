@@ -171,7 +171,14 @@ class QuantConfig:
     #:            (weight-HBM-capacity path: 4x smaller weights)
     #: "int8"   — integer-value codes both sides, grouped int8 x int8 -> int32
     #:            MXU GEMM (throughput path: 2x bf16 MAC rate on v5e; exact
-    #:            integer arithmetic, tighter than the fake bf16 GEMM)
+    #:            integer arithmetic, tighter than the fake bf16 GEMM).
+    #:            With weight_quant="per_channel" + act_quant="per_token"
+    #:            ("int8ch") the scales hoist fully out of the contraction
+    #:            and every GEMM is ONE full-K int8 MXU dot — measured 1.33x
+    #:            the bf16 GEMM rate on v5e, where per-group-128 scaling
+    #:            drops to 0.74x (scripts/kernel_roofline.py); quality cost
+    #:            of the coarser scales is ~2x logit MSE with rotation on
+    #:            (tests/test_recipe_ablation.py).
     backend: str = "fake"
     #: EXPERIMENTAL: fuse rotation + per-group act quantization into the
     #: GEMM kernel for eligible layers.  v1 recomputes the quantization per

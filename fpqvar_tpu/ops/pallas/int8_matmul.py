@@ -140,7 +140,29 @@ def _use_kernel(n: int, k_dim: int, group_size: int) -> bool:
             and n % 128 == 0 and k_dim % group_size == 0)
 
 
+def _channel_dot(ac, asc, wc, ws):
+    """Per-channel/per-token path (G == 1): ONE full-K int8 MXU dot with the
+    scales hoisted entirely out of the contraction.
+
+    The kernel-roofline microbench (scripts/kernel_roofline.py) measured the
+    per-group-128 scale chain at 59 TOP/s vs 106 TOP/s for the plain full-K
+    int8 dot (bf16: 80 TFLOP/s) on v5e — per-group scaling costs ~4 VPU
+    passes over the [M, N] partial per group, more VPU time than the MXU
+    dot itself.  With per-channel weight / per-token act scales the rescale
+    is one outer-product multiply amortized over the whole K depth, so the
+    GEMM rides the MXU's native 2x int8 rate.  Plain XLA — no Pallas needed.
+
+    asc [M, 1], ws [1, N]; exact: |codes| <= 60 (packing.CODE_MULT) so the
+    int32 dot is overflow-free to K ~ 5e5.
+    """
+    p = jax.lax.dot_general(ac, wc, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    return p.astype(jnp.float32) * asc * ws
+
+
 def _call(ac, asc, wc, ws, *, group_size, n, k_dim, force_jnp):
+    if group_size == k_dim:
+        return _channel_dot(ac, asc, wc, ws)
     if force_jnp or not _use_kernel(n, k_dim, group_size):
         return _jnp_reference(ac, asc, wc, ws, group_size)
     return _int8_matmul_2d(ac, asc, wc, ws, group_size=group_size, n=n,
@@ -178,6 +200,21 @@ def _shard_mapped(ac, asc, wcodes, wscales, *, mesh, parallel, group_size,
             in_specs=(P(xr, None), P(xr, None),
                       P(None, "tp"), P(None, "tp")),
             out_specs=P(xr, "tp"),
+        )(ac, asc, wcodes, wscales)
+    if parallel == "row" and group_size == k_dim and k_dim % (128 * tp) == 0:
+        # per-channel (G == 1): K splits over tp but the single per-token /
+        # per-channel scale does NOT — psum the exact int32 partials, scale
+        # once after the collective
+        def fn(a, s, wc, ws):
+            p = jax.lax.dot_general(a, wc, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.int32)
+            return jax.lax.psum(p, "tp").astype(jnp.float32) * s * ws
+
+        return jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=(P(xr, "tp"), P(xr, None),
+                      P("tp", None), P(None, None)),
+            out_specs=P(xr, None),
         )(ac, asc, wcodes, wscales)
     if parallel == "row" and k_dim % (group_size * tp) == 0:
         def fn(a, s, wc, ws):

@@ -81,10 +81,17 @@ def _pack_shardings(key: str, pack, mesh: Mesh, tp: int):
     gs = pack.group_size
     if isinstance(pack, IntPack):
         # codes [d, K, N], scales [d, G, N]
-        ok = (n % (128 * tp) == 0) if col else (k_dim % (gs * tp) == 0)
-        spec = (P(None, None, "tp") if col else P(None, "tp", None)) \
-            if ok else P()
-        cs = ss = spec
+        if gs == k_dim and not col:
+            # per-channel (G == 1): codes split on K, the single scale
+            # row replicates (shard_map psums int32 partials, scales after
+            # — ops/pallas/int8_matmul row-per-channel branch)
+            ok = k_dim % (128 * tp) == 0
+            cs = P(None, "tp", None) if ok else P()
+            ss = P()
+        else:
+            ok = (n % (128 * tp) == 0) if col else (k_dim % (gs * tp) == 0)
+            cs = ss = (P(None, None, "tp") if col
+                       else P(None, "tp", None)) if ok else P()
     else:
         # PackedTensor codes [d, rows, K], scales [d, N, G]
         ok = (n % (128 * tp) == 0) if col else (k_dim % (gs * tp) == 0)

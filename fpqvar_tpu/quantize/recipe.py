@@ -18,6 +18,7 @@ fpqvar_tpu.utils.checkpoint (the reference re-quantizes at every startup).
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax.numpy as jnp
@@ -95,10 +96,16 @@ def quantize_weights(blocks: dict, qcfg: QuantConfig) -> dict:
         if fmt not in P.CODE_MULT:
             raise ValueError(
                 f"int8 backend supports {sorted(P.CODE_MULT)}, got {fmt}")
-        pack_j = jax.jit(
-            lambda w: P.pack_int_codes(w, fmt, qcfg.group_size))
+        # weight_quant="per_channel" -> group = the layer's full K: one
+        # scale per output channel, acts per-token — the int8ch speed path
+        # (full-K int8 MXU dot, scales hoisted out of the contraction;
+        # see ops/pallas/int8_matmul._channel_dot)
+        per_channel = qcfg.weight_quant == "per_channel"
         for key in _WEIGHT_KEYS:
-            out[key] = pack_j(jnp.asarray(blocks[key], jnp.float32))
+            w = jnp.asarray(blocks[key], jnp.float32)
+            gs = w.shape[-1] if per_channel else qcfg.group_size
+            out[key] = jax.jit(functools.partial(
+                P.pack_int_codes, fmt=fmt, group_size=gs))(w)
         return out
     fmt = "int_sym" if qcfg.int_quant else qcfg.weight_format
     wq = Q.make_weight_quantizer(

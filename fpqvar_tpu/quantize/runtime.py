@@ -168,9 +168,16 @@ def build_runtime(qcfg: QuantConfig, depth: Optional[int] = None,
             # scales, no dequantized intermediate) — see models/var.py
             from fpqvar_tpu.ops import packing as P
 
-            if qcfg.int_quant or qcfg.act_quant != "per_group":
+            if qcfg.int_quant or qcfg.act_quant not in (
+                    "per_group", "per_token"):
                 raise ValueError(
-                    "int8 backend requires per-group fp act quantization")
+                    "int8 backend requires per-group or per-token fp act "
+                    "quantization")
+            if ((qcfg.act_quant == "per_token")
+                    != (qcfg.weight_quant == "per_channel")):
+                raise ValueError(
+                    "int8 backend: per-token acts pair with per-channel "
+                    "weights (the int8ch full-K path) — set both or neither")
             if qcfg.mixed_act_formats is not None:
                 raise ValueError(
                     "int8 backend does not support mixed_act_formats")

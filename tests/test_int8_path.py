@@ -144,7 +144,85 @@ def test_int8_generation_matches_fake(tiny_model):
 def test_int8_backend_validation():
     with pytest.raises(ValueError):
         build_runtime(fpqvar_w4a4().replace(
-            backend="int8", act_quant="per_token"))
+            backend="int8", act_quant="per_token"))   # needs per-channel w
     with pytest.raises(ValueError):
         build_runtime(fpqvar_w4a4().replace(
             backend="int8", act_format="fp6_e3m2", weight_format="fp6_e3m2"))
+
+
+# ---------------------------------------------------------------------------
+# int8ch: per-channel weight / per-token act scales -> ONE full-K int8 MXU
+# dot, scales hoisted out of the contraction (scripts/kernel_roofline.py:
+# full-K int8 runs 1.33x the bf16 GEMM rate on v5e while the per-group-128
+# scale chain drops to 0.74x — granularity is the speed knob).
+# ---------------------------------------------------------------------------
+
+def _int8ch_cfg():
+    return fpqvar_w4a4().replace(
+        backend="int8", transform=False,
+        weight_quant="per_channel", act_quant="per_token")
+
+
+def test_int8ch_codes_reproduce_per_token_fake():
+    """group_size == K makes quant_int_codes per-token: codes * scale must
+    equal fake_quant_fp(granularity='per_token') bit-wise."""
+    x = jax.random.normal(jax.random.PRNGKey(8), (16, 256)) * 1.3
+    codes, scales = P.quant_int_codes(x, "fp_e2", group_size=256)
+    assert scales.shape == (16, 1)
+    deq = codes.astype(jnp.float32) * scales
+    ref = Q.fake_quant_fp(x, "fp_e2", granularity="per_token")
+    np.testing.assert_array_equal(np.asarray(deq), np.asarray(ref))
+
+
+def test_int8ch_linear_matches_per_token_fake_path():
+    """int8_linear with a per-channel pack == fake per-token act quant @
+    fake per-channel weight quant (exact int32 dot, f32 rescale)."""
+    key = jax.random.PRNGKey(9)
+    x = jax.random.normal(key, (4, 33, 256), jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(key, 1), (128, 256))
+    pw = P.pack_int_codes(w, "fp_e2", group_size=256)
+    assert pw.scales.shape == (1, 128)
+    got = int8_linear(x, pw)
+    xq = Q.fake_quant_fp(x, "fp_e2", granularity="per_token")
+    wq = Q.fake_quant_fp(w, "fp_e2", granularity="per_channel")
+    ref = xq @ wq.T
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_int8ch_dual_matches_per_token_fake_path():
+    key = jax.random.PRNGKey(10)
+    x = jnp.abs(jax.random.normal(key, (8, 256))) - 0.3
+    w = jax.random.normal(jax.random.fold_in(key, 1), (128, 256))
+    pw = P.pack_int_codes(w, "fp_e2", group_size=256)
+    got = int8_linear_dual(x, pw, "fp_e1m2_neg_e2m1_pos")
+    xq = Q.fake_quant_dual(x, "fp_e1m2_neg_e2m1_pos",
+                           granularity="per_token")
+    wq = Q.fake_quant_fp(w, "fp_e2", granularity="per_channel")
+    ref = xq @ wq.T
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_int8ch_generation_matches_fake(tiny_model):
+    """int8ch generation == the fake backend at the SAME granularity
+    (per-token acts / per-channel weights): identical quantized values,
+    exact-integer GEMMs."""
+    vae_p, var_p = tiny_model
+    key = jax.random.PRNGKey(11)
+    label = jnp.array([2, 9])
+
+    qcfg_fk = fpqvar_w4a4().replace(
+        transform=False, weight_quant="per_channel", act_quant="per_token")
+    qp_fk = quantize_var_params(var_p, TINY, qcfg_fk)
+    img_fk = VARGenerator(TINY, qcfg_fk).generate(qp_fk, vae_p, label, key)
+
+    qcfg_ch = _int8ch_cfg()
+    qp_ch = quantize_var_params(var_p, TINY, qcfg_ch)
+    pw = qp_ch["blocks"]["mat_qkv_w"]
+    assert pw.group_size == pw.shape[-1]          # full-K groups
+    assert pw.scales.shape[-2] == 1
+    img_ch = VARGenerator(TINY, qcfg_ch).generate(qp_ch, vae_p, label, key)
+    assert not bool(jnp.isnan(img_ch).any())
+    np.testing.assert_allclose(np.asarray(img_ch), np.asarray(img_fk),
+                               atol=2e-2)

@@ -112,6 +112,43 @@ def test_recipe_stages_monotonically_improve(outlier_model, trained_galt):
     assert mses["rotate+galt+dual"] <= mses["rotate+galt"] * 1.05, mses
 
 
+def test_per_channel_granularity_cost_is_bounded(outlier_model):
+    """The int8ch speed path trades per-group-128 scales for per-channel /
+    per-token scales (full-K int8 MXU dots — scripts/kernel_roofline.py).
+    Pin the quality ladder: with rotation on (which gaussianizes the
+    outliers that coarse scaling suffers from most), per-channel error
+    stays within an order of magnitude of per-group, and rotation helps
+    the coarse granularity too."""
+    _, var_p = outlier_model
+    label = jnp.array([3, 7], jnp.int32)
+    x = jax.random.normal(
+        jax.random.PRNGKey(4),
+        (2, CFG.L - CFG.first_l, CFG.vae.z_channels)) * 0.5
+
+    def mse(qcfg):
+        qp = quantize_var_params(var_p, CFG, qcfg)
+        qp = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, jnp.float32), qp)
+        qrt = build_runtime(qcfg, CFG.depth, CFG.width)
+        return _logit_mse(var_p, qp, qrt, label, x)
+
+    base = QuantConfig(
+        enabled=True, w_bit=4, a_bit=4,
+        weight_quant="per_group", act_quant="per_group",
+        weight_format="fp_e2", act_format="fp_e2", fc2_format="fp_e2")
+    chan = base.replace(weight_quant="per_channel", act_quant="per_token")
+
+    m = {
+        "group+rot": mse(base.replace(rotate=True)),
+        "chan": mse(chan),
+        "chan+rot": mse(chan.replace(rotate=True)),
+    }
+    print("granularity MSEs:", m)
+    assert np.isfinite(list(m.values())).all(), m
+    assert m["chan+rot"] < m["chan"], m               # rotation still helps
+    assert m["chan+rot"] <= m["group+rot"] * 10.0, m  # bounded coarseness cost
+
+
 def test_fc2_dual_grid_beats_single_on_gelu():
     """The asymmetric dual-grid format must beat single-grid e2m1 on
     GELU-distributed activations (the motivation study,

@@ -76,7 +76,7 @@ def test_dryrun_entrypoints():
     g.dryrun_multichip(8)
 
 
-@pytest.mark.parametrize("backend", ["int8", "packed"])
+@pytest.mark.parametrize("backend", ["int8", "int8ch", "packed"])
 def test_quantized_tp_generation_matches_single_device(backend):
     """Packed/int8 + TP composition: codes and scales live tp-SHARDED on
     the mesh, GEMMs run shard_map'ed (column split mat_qkv/fc1, row split
@@ -99,7 +99,14 @@ def test_quantized_tp_generation_matches_single_device(backend):
                         num_res_blocks=1, patch_nums=(1, 2, 3)))
     vae_p = init_vqvae_params(jax.random.PRNGKey(0), cfg.vae)
     var_p = init_var_params(jax.random.PRNGKey(1), cfg, adaln_gamma_std=0.02)
-    qcfg = fpqvar_w4a4().replace(backend=backend, transform=False)
+    if backend == "int8ch":
+        # per-channel/per-token scales: full-K int8 dots, col split on N,
+        # row split on K with replicated scales + int32 psum
+        qcfg = fpqvar_w4a4().replace(
+            backend="int8", transform=False,
+            weight_quant="per_channel", act_quant="per_token")
+    else:
+        qcfg = fpqvar_w4a4().replace(backend=backend, transform=False)
     qp = quantize_var_params(var_p, cfg, qcfg)
 
     labels = jnp.arange(2, dtype=jnp.int32)
