@@ -93,10 +93,10 @@ def main():
     ap.add_argument("--batch", type=int, default=None,
                     help="override preset batch size")
     ap.add_argument("--modes", type=str, default=None,
-                    help="comma list from bf16,fake,int8,int8ch,packed,"
-                         "int8kv (default: bf16,fake,int8ch,packed; d36 "
-                         "preset adds int8kv — int8 GEMMs + packed int8 "
-                         "KV cache)")
+                    help="comma list from bf16,fake,int8,int8ch,int8chs,"
+                         "packed,int8kv (default: bf16,fake,int8,int8ch,"
+                         "int8chs,packed; d36 preset: bf16,int8,int8kv — "
+                         "int8kv = int8 GEMMs + packed int8 KV cache)")
     args = ap.parse_args()
 
     from fpqvar_tpu.config import GenerateConfig, QuantConfig, fpqvar_w4a4
@@ -153,6 +153,15 @@ def main():
         # v5e; per-group scaling erases that — scripts/kernel_roofline.py)
         "int8ch": base.replace(backend="int8", weight_quant="per_channel",
                                act_quant="per_token"),
+        # int8chs: int8ch + single-grid fc2 acts.  Dual-grid fc2 needs TWO
+        # int8 GEMMs (disjoint neg/pos codes share no scale), and fc2 is
+        # 4/12 of block GEMM flops — doubling it exactly cancels the 1.33x
+        # int8 MXU rate (measured: int8ch 0.87x ~= fake 0.89x).  Single-grid
+        # fc2 keeps every GEMM at 1x count -> the full-throughput recipe;
+        # quality delta of dual-vs-single is ~10% logit MSE
+        # (tests/test_recipe_ablation.py ladder).
+        "int8chs": base.replace(backend="int8", weight_quant="per_channel",
+                                act_quant="per_token", fc2_format="fp_e2"),
         "packed": base.replace(backend="packed"),
         # int8 GEMMs + packed int8 KV cache (per-token e2m1 codes + scales;
         # the HBM-capacity recipe for d36-512's L=2240 cache)
@@ -164,7 +173,7 @@ def main():
     elif args.preset == "d36":
         modes = ["bf16", "int8", "int8kv"]
     else:
-        modes = ["bf16", "fake", "int8", "int8ch", "packed"]
+        modes = ["bf16", "fake", "int8", "int8ch", "int8chs", "packed"]
 
     # The remote-TPU relay's throughput drifts up to 3-4x over minutes, and
     # at d30 batch 8 only ONE param set + program workspace fits in 16GB
@@ -210,9 +219,10 @@ def main():
     res = "512x512" if args.preset == "d36" else "256x256"
     print(json.dumps({
         "metric": f"images/sec/chip VAR-{args.preset} FP4 W4A4 {res} "
-                  f"(e2m1 + block-Hadamard + fc2 dual-grid; scales "
-                  f"per-group-128 except int8ch=per-channel/per-token; "
-                  f"best mode={best_name}; batch {batch}, cfg-doubled; "
+                  f"(e2m1 + block-Hadamard; scales per-group-128 + fc2 "
+                  f"dual-grid, except int8ch*=per-channel/per-token and "
+                  f"int8chs=single-grid fc2; best mode={best_name}; "
+                  f"batch {batch}, cfg-doubled; "
                   f"{detail}; bf16_drift={drift}; vs_baseline uses the "
                   f"bracketing bf16 mean — relay throughput drifts "
                   f"between measurements)",

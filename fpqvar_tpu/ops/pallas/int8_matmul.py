@@ -140,6 +140,76 @@ def _use_kernel(n: int, k_dim: int, group_size: int) -> bool:
             and n % 128 == 0 and k_dim % group_size == 0)
 
 
+def _ch_kernel(ac_ref, as_ref, wc_ref, ws_ref, out_ref, acc_ref, *, nk):
+    """Full-K int8 matmul with the per-channel rescale fused into the
+    output tile.  XLA keeps the scale epilogue as a separate [M, N] pass
+    (measured: raw int8 dot 103 TOP/s, +any epilogue -> 76-80, i.e. bf16
+    parity — /tmp probe 2026-08-17, recorded in ARCHITECTURE.md); here the
+    int32 accumulator lives in VMEM scratch across K steps and the single
+    f32 scale + bf16 cast happens on the tile before the one HBM write.
+    Accumulation is EXACT: |codes| <= 60 (packing.CODE_MULT) so even a
+    full K = 7680 int32 sum stays < 2^25."""
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot_general(
+        ac_ref[:], wc_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+    @pl.when(kk == nk - 1)
+    def _():
+        out_ref[:] = (acc_ref[:].astype(jnp.float32)
+                      * as_ref[:] * ws_ref[:]).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "k_dim", "out_dtype",
+                                             "interpret"))
+def _int8ch_matmul_2d(acodes, ascales, wcodes, wscales, *, n, k_dim,
+                      out_dtype=jnp.bfloat16, interpret=False):
+    """Per-channel path Pallas kernel: acodes [M, K] int8, ascales [M, 1]
+    f32, wcodes [K, N] int8, wscales [1, N] f32 -> [M, N] out_dtype."""
+    m = acodes.shape[0]
+    bn = 128 * _pick(n, 128, (4, 3, 2, 1))
+    bk = min(k_dim, 1920)
+    while k_dim % bk:
+        bk //= 2
+    bm = 1024 if m >= 1024 else (512 if m >= 512 else 128)
+    m_pad = _round_up(max(m, 32), bm) if m > bm else _round_up(max(m, 32), 32)
+    bm_eff = min(bm, m_pad)
+    if m_pad != m:
+        acodes = jnp.pad(acodes, ((0, m_pad - m), (0, 0)))
+        ascales = jnp.pad(ascales, ((0, m_pad - m), (0, 0)))
+    nk = k_dim // bk
+    out = pl.pallas_call(
+        functools.partial(_ch_kernel, nk=nk),
+        grid=(m_pad // bm_eff, n // bn, nk),
+        in_specs=[
+            pl.BlockSpec((bm_eff, bk), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm_eff, 1), lambda i, j, kk: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm_eff, bn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm_eff, bn), jnp.int32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * n * k_dim,
+            bytes_accessed=m_pad * k_dim + n * k_dim + m_pad * n * 2,
+            transcendentals=0,
+        ),
+    )(acodes, ascales, wcodes, wscales)
+    return out[:m] if m_pad != m else out
+
+
 def _channel_dot(ac, asc, wc, ws):
     """Per-channel/per-token path (G == 1): ONE full-K int8 MXU dot with the
     scales hoisted entirely out of the contraction.
@@ -160,8 +230,22 @@ def _channel_dot(ac, asc, wc, ws):
     return p.astype(jnp.float32) * asc * ws
 
 
+#: opt-in: route per-channel GEMMs to the fused-epilogue Pallas kernel.
+#: Default OFF — measured SLOWER end-to-end than the XLA _channel_dot at
+#: d30 batch 8 (int8chs 10.52 vs 11.05 img/s, drift-free bracketed runs)
+#: despite winning an isolated microbench: the Pallas call boundary forces
+#: the act-quantize chain's codes/scales to materialize to HBM, while XLA
+#: fuses quantize -> dot -> rescale into one program.  Third negative
+#: result for hand-scheduling against XLA fusion at these shapes
+#: (ROUND_NOTES.md round 1 records the other two).
+USE_CH_KERNEL = False
+
+
 def _call(ac, asc, wc, ws, *, group_size, n, k_dim, force_jnp):
     if group_size == k_dim:
+        if (USE_CH_KERNEL and not force_jnp
+                and _use_kernel(n, k_dim, 128) and k_dim % 128 == 0):
+            return _int8ch_matmul_2d(ac, asc, wc, ws, n=n, k_dim=k_dim)
         return _channel_dot(ac, asc, wc, ws)
     if force_jnp or not _use_kernel(n, k_dim, group_size):
         return _jnp_reference(ac, asc, wc, ws, group_size)

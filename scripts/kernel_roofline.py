@@ -117,16 +117,78 @@ def main():
             return (aa ^ (y[0, 0] & 0).astype(jnp.int8), acc + y[0, 0])
         return jax.lax.fori_loop(0, iters, body, (ac, jnp.int32(0)))[1]
 
+    # the int8ch building blocks at full fidelity: dot + outer rescale,
+    # and the complete act-quantize + dot + rescale chain (what the model
+    # actually runs per layer in int8ch mode)
+    pwc = P.pack_int_codes(
+        jax.random.normal(jax.random.fold_in(key, 2), (n, k)), "fp_e2",
+        group_size=k)
+    acc_, ascc = P.quant_int_codes(x.astype(jnp.float32), "fp_e2",
+                                   group_size=k)
+
+    @jax.jit
+    def int8ch_dot_loop(ac, asc, wc, ws):
+        from fpqvar_tpu.ops.pallas.int8_matmul import _channel_dot
+
+        def body(i, carry):
+            s_in, acc = carry
+            y = _channel_dot(ac, s_in, wc, ws)
+            return (s_in * (1.0 + 1e-12 * y[0, 0]), acc + y[0, 0])
+        return jax.lax.fori_loop(0, iters, body, (asc, 0.0))[1]
+
+    @jax.jit
+    def int8ch_kernel_loop(ac, asc, wc, ws):
+        from fpqvar_tpu.ops.pallas.int8_matmul import _int8ch_matmul_2d
+
+        def body(i, carry):
+            s_in, acc = carry
+            y = _int8ch_matmul_2d(ac, s_in, wc, ws, n=n, k_dim=k)
+            return (s_in * (1.0 + 1e-12 * y[0, 0].astype(jnp.float32)),
+                    acc + y[0, 0].astype(jnp.float32))
+        return jax.lax.fori_loop(0, iters, body, (asc, 0.0))[1]
+
+    @jax.jit
+    def int8ch_full_loop(x, wc, ws):
+        from fpqvar_tpu.ops.pallas.int8_matmul import _channel_dot
+
+        def body(i, carry):
+            xx, acc = carry
+            a, s = P.quant_int_codes(xx.astype(jnp.float32), "fp_e2", k)
+            y = _channel_dot(a, s, wc, ws)
+            return (xx + (1e-12 * y[0, 0]).astype(xx.dtype), acc + y[0, 0])
+        return jax.lax.fori_loop(0, iters, body, (x, 0.0))[1]
+
     peak_bf16, peak_int8 = 197e12, 394e12
     t = timed(bf16_loop, x, w, iters=iters)
-    print(f"bf16 GEMM      : {flops / t / 1e12:7.1f} TFLOP/s "
+    print(f"bf16 GEMM       : {flops / t / 1e12:7.1f} TFLOP/s "
           f"({flops / t / peak_bf16 * 100:5.1f}% of bf16 peak)")
     t = timed(int8_loop, ac, asc, pw.codes, pw.scales, iters=iters)
-    print(f"grouped int8   : {flops / t / 1e12:7.1f} TOP/s "
+    print(f"grouped int8    : {flops / t / 1e12:7.1f} TOP/s "
           f"({flops / t / peak_int8 * 100:5.1f}% of int8 peak)")
     t = timed(int8_plain_loop, ac, pw.codes, iters=iters)
-    print(f"int8 full-K dot: {flops / t / 1e12:7.1f} TOP/s "
+    print(f"int8 full-K dot : {flops / t / 1e12:7.1f} TOP/s "
           f"({flops / t / peak_int8 * 100:5.1f}% of int8 peak)")
+    t = timed(int8ch_dot_loop, acc_, ascc, pwc.codes, pwc.scales,
+              iters=iters)
+    print(f"int8ch dot+scale: {flops / t / 1e12:7.1f} TOP/s "
+          f"({flops / t / peak_int8 * 100:5.1f}% of int8 peak)")
+    # parity check then rate of the fused-epilogue Pallas kernel
+    from fpqvar_tpu.ops.pallas.int8_matmul import (
+        _channel_dot, _int8ch_matmul_2d)
+    got = np.asarray(_int8ch_matmul_2d(acc_, ascc, pwc.codes, pwc.scales,
+                                       n=n, k_dim=k))
+    want = np.asarray(_channel_dot(acc_, ascc, pwc.codes, pwc.scales)
+                      .astype(jnp.bfloat16))
+    exact = bool((got == want).all())
+    t = timed(int8ch_kernel_loop, acc_, ascc, pwc.codes, pwc.scales,
+              iters=iters)
+    print(f"int8ch kernel   : {flops / t / 1e12:7.1f} TOP/s "
+          f"({flops / t / peak_int8 * 100:5.1f}% of int8 peak) "
+          f"[fused epilogue; bit-exact vs mirror: {exact}]")
+    t = timed(int8ch_full_loop, x, pwc.codes, pwc.scales, iters=iters)
+    print(f"int8ch q+dot+s  : {flops / t / 1e12:7.1f} TOP/s "
+          f"({flops / t / peak_int8 * 100:5.1f}% of int8 peak) "
+          f"[incl. act quantize]")
 
 
 if __name__ == "__main__":

@@ -163,6 +163,24 @@ def _int8ch_cfg():
         weight_quant="per_channel", act_quant="per_token")
 
 
+def test_int8ch_kernel_matches_channel_dot_interpret():
+    """Fused-epilogue Pallas kernel (interpret mode) vs the XLA mirror:
+    identical int32 accumulation + f32 rescale, bf16 output cast."""
+    from fpqvar_tpu.ops.pallas.int8_matmul import (
+        _channel_dot, _int8ch_matmul_2d)
+
+    key = jax.random.PRNGKey(13)
+    m, k_dim, n = 48, 384, 256
+    x = jax.random.normal(key, (m, k_dim))
+    w = jax.random.normal(jax.random.fold_in(key, 1), (n, k_dim))
+    ac, asc = P.quant_int_codes(x, "fp_e2", group_size=k_dim)
+    pw = P.pack_int_codes(w, "fp_e2", group_size=k_dim)
+    ref = _channel_dot(ac, asc, pw.codes, pw.scales).astype(jnp.bfloat16)
+    out = _int8ch_matmul_2d(ac, asc, pw.codes, pw.scales, n=n, k_dim=k_dim,
+                            interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
 def test_int8ch_codes_reproduce_per_token_fake():
     """group_size == K makes quant_int_codes per-token: codes * scale must
     equal fake_quant_fp(granularity='per_token') bit-wise."""
@@ -202,6 +220,29 @@ def test_int8ch_dual_matches_per_token_fake_path():
     ref = xq @ wq.T
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-4)
+
+
+def test_int8chs_single_grid_fc2_generation_matches_fake(tiny_model):
+    """The full-throughput recipe (int8ch + single-grid fc2 = ONE int8 GEMM
+    per layer incl. fc2) must match the fake backend at the same config.
+    Dual-grid fc2 costs a second GEMM over disjoint neg/pos codes — 4/12 of
+    block GEMM flops doubled, cancelling the int8 MXU rate win."""
+    vae_p, var_p = tiny_model
+    key = jax.random.PRNGKey(12)
+    label = jnp.array([1, 7])
+
+    fk = fpqvar_w4a4().replace(
+        transform=False, weight_quant="per_channel", act_quant="per_token",
+        fc2_format="fp_e2")
+    qp_fk = quantize_var_params(var_p, TINY, fk)
+    img_fk = VARGenerator(TINY, fk).generate(qp_fk, vae_p, label, key)
+
+    ch = fk.replace(backend="int8")
+    qp_ch = quantize_var_params(var_p, TINY, ch)
+    img_ch = VARGenerator(TINY, ch).generate(qp_ch, vae_p, label, key)
+    assert not bool(jnp.isnan(img_ch).any())
+    np.testing.assert_allclose(np.asarray(img_ch), np.asarray(img_fk),
+                               atol=2e-2)
 
 
 def test_int8ch_generation_matches_fake(tiny_model):
