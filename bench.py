@@ -82,6 +82,26 @@ def peak_hbm_gb():
         return None
 
 
+def static_hbm_gb(params, cfg, qcfg, batch):
+    """Static HBM accounting (weights + KV cache), model-derived: the axon
+    relay's memory_stats() is empty, so the capacity story (packed 4x / int8
+    2x weights, packed int8 KV ~3.5x cache) is reported from the actual
+    array sizes instead of a runtime peak."""
+    from fpqvar_tpu.models.var import init_kv_cache
+    from fpqvar_tpu.quantize.runtime import build_runtime
+
+    wbytes = sum(
+        a.size * a.dtype.itemsize
+        for a in jax.tree_util.tree_leaves(params) if hasattr(a, "dtype"))
+    qrt = build_runtime(qcfg, cfg.depth, cfg.width)
+    cache = jax.eval_shape(
+        lambda: init_kv_cache(cfg, 2 * batch, kv_codec=qrt.kv_codec))
+    cbytes = sum(
+        a.size * jnp.dtype(a.dtype).itemsize
+        for a in jax.tree_util.tree_leaves(cache))
+    return round(wbytes / 2**30, 3), round(cbytes / 2**30, 3)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="d30",
@@ -94,9 +114,10 @@ def main():
                     help="override preset batch size")
     ap.add_argument("--modes", type=str, default=None,
                     help="comma list from bf16,fake,int8,int8ch,int8chs,"
-                         "packed,int8kv (default: bf16,fake,int8,int8ch,"
-                         "int8chs,packed; d36 preset: bf16,int8,int8kv — "
-                         "int8kv = int8 GEMMs + packed int8 KV cache)")
+                         "packed,int8kv,int8att (default: bf16,fake,int8,"
+                         "int8ch,int8chs,packed; d36 preset adds int8kv = "
+                         "int8 GEMMs + packed int8 KV cache and int8att = "
+                         "int8kv + int8 attention contractions)")
     args = ap.parse_args()
 
     from fpqvar_tpu.config import GenerateConfig, QuantConfig, fpqvar_w4a4
@@ -163,15 +184,24 @@ def main():
         "int8chs": base.replace(backend="int8", weight_quant="per_channel",
                                 act_quant="per_token", fc2_format="fp_e2"),
         "packed": base.replace(backend="packed"),
-        # int8 GEMMs + packed int8 KV cache (per-token e2m1 codes + scales;
-        # the HBM-capacity recipe for d36-512's L=2240 cache)
-        "int8kv": base.replace(backend="int8", kv_bit=4,
+        # int8ch GEMMs + packed int8 KV cache (per-token e2m1 codes +
+        # scales; the HBM-capacity recipe for d36-512's L=2240 cache —
+        # per-channel/per-token GEMM scales because per-group measured
+        # 0.61x at d36 batch 2 where full-K int8 runs ~0.87x)
+        "int8kv": base.replace(backend="int8", weight_quant="per_channel",
+                               act_quant="per_token", kv_bit=4,
                                kv_backend="packed"),
+        # int8kv + int8 MXU attention contractions over the cached codes
+        # (q and the vs-folded softmax weights int8-quantized per row;
+        # QuantConfig.attn_int8) — attention is ~14% of d36 block flops
+        "int8att": base.replace(backend="int8", weight_quant="per_channel",
+                                act_quant="per_token", kv_bit=4,
+                                kv_backend="packed", attn_int8=True),
     }
     if args.modes:
         modes = args.modes.split(",")
     elif args.preset == "d36":
-        modes = ["bf16", "int8", "int8kv"]
+        modes = ["bf16", "int8", "int8kv", "int8att"]
     else:
         modes = ["bf16", "fake", "int8", "int8ch", "int8chs", "packed"]
 
@@ -202,8 +232,10 @@ def main():
         results[mode] = time_generate(gen, params, vae_p, label, key,
                                       args.rounds)
         hbm[mode] = peak_hbm_gb()
+        wgb, cgb = static_hbm_gb(params, cfg, qcfg_m, batch)
         print(f"# {mode}: {results[mode]:.3f} images/sec "
-              f"(peak HBM {hbm[mode]} GB)", file=sys.stderr, flush=True)
+              f"(peak HBM {hbm[mode]} GB; static: weights {wgb} GB, "
+              f"KV cache {cgb} GB)", file=sys.stderr, flush=True)
         free(params)
 
     bf16_samples = [v for k, v in results.items()

@@ -159,6 +159,15 @@ class QuantConfig:
     #: "fake" keeps a dense bf16 cache; "packed" stores int8 codes +
     #: per-token scales (requires kv_mode="store" and a grid kv format).
     kv_backend: str = "fake"
+    #: int8 attention contractions over the packed KV codes (TPU-native
+    #: extension; the reference never quantizes q or the score matrix).
+    #: Requires kv_backend="packed" with an integer-value kv format: q is
+    #: quantized per-(token, head) to int8 and QK^T runs int8xint8->int32 on
+    #: the MXU against the cached k codes; the per-row softmax weights (with
+    #: the v scales folded in) are likewise int8-quantized so the PV
+    #: contraction is a second int8 MXU dot.  Extra error is <=1/254 of the
+    #: per-row absmax on each side.
+    attn_int8: bool = False
 
     rotate: bool = False
     block_rotate: bool = True
@@ -191,6 +200,20 @@ class QuantConfig:
     # Per-block mixed-format assignment (the paper's MixedFormat ablation,
     # `quant_utils.py:1256-1432`): optional tuple of per-block act formats.
     mixed_act_formats: Optional[Tuple[str, ...]] = None
+
+    #: Quantize the AdaLN conditioning linear (per-block ada_lin, or
+    #: shared_ada_lin for 512 models).  The reference INTENDS this — its
+    #: quantize_VAR walks SharedAdaLin and has an ada_lin branch — but both
+    #: are silent no-ops (`quant_utils.py:1232-1250`, SURVEY.md §2.3), and
+    #: `search/search_fp_format_ada.py` searches formats for it anyway.
+    #: Here it actually works: weights fake-quantized offline (modulations
+    #: are computed ONCE per generation, so this is never a hot GEMM),
+    #: SiLU(cond) quantized per-token with ``ada_format``.
+    quantize_ada: bool = False
+    ada_format: str = "auto"            # "auto" -> act_format
+
+    def resolved_ada_format(self) -> str:
+        return self.act_format if self.ada_format == "auto" else self.ada_format
 
     def resolved_kv_format(self) -> str:
         if self.kv_format != "auto":

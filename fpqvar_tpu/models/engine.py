@@ -80,7 +80,8 @@ class VARGenerator:
             jax.jit(partial(_step, st), donate_argnums=(6, 7))
             for st in self.statics
         ]
-        self._prepare = jax.jit(partial(V.prepare_generation, cfg=cfg))
+        self._prepare = jax.jit(
+            partial(V.prepare_generation, cfg=cfg, qrt=self.qrt))
         self._decode = jax.jit(
             lambda vae_params, f_hat: (
                 vq.decode(vae_params, cfg.vae, f_hat) + 1.0) * 0.5
@@ -90,7 +91,7 @@ class VARGenerator:
             b = label_B.shape[0]
             key = _fold0(key)                 # match the stepwise path
             cond_BD, mod, lvl_pos, x = V.prepare_generation(
-                params, cfg, label_B)
+                params, cfg, label_B, self.qrt)
             x = x.astype(compute_dtype)
             mod = mod.astype(compute_dtype)
             lvl_pos = lvl_pos.astype(compute_dtype)

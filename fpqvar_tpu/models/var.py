@@ -256,17 +256,46 @@ def block_forward(
                 ks_all = cache["ks"][:, :, :end]      # [B, H, end] f32
                 vs_all = cache["vs"][:, :, :end]
                 k_all = v_all = None
-                scores = jnp.einsum(
-                    "blhc,bmhc->bhlm", q, kcodes.astype(q.dtype),
-                    preferred_element_type=jnp.float32)
-                scores = scores * ks_all[:, :, None, :]
-                if attn_bias is not None:
-                    scores = scores + attn_bias
-                probs = jax.nn.softmax(scores, axis=-1)
-                pv = (probs * vs_all[:, :, None, :]).astype(q.dtype)
-                oup = jnp.einsum(
-                    "bhlm,bmhc->blhc", pv, vcodes.astype(q.dtype)
-                ).reshape(b, l, heads * hd)
+                if qrt.attn_int8:
+                    # both attention contractions as int8 MXU dots over the
+                    # cached codes (QuantConfig.attn_int8): q quantized
+                    # per-(token, head), softmax weights (v scales folded)
+                    # per score row — extra error <=1/254 of each row's
+                    # absmax, on top of the KV codec's own quantization
+                    qf = q.astype(jnp.float32)
+                    qa = jnp.max(jnp.abs(qf), axis=-1, keepdims=True)
+                    qs = jnp.where(qa > 0, qa / 127.0, 1.0)  # [B,l,H,1]
+                    qc = jnp.round(qf / qs).astype(jnp.int8)
+                    scores = jnp.einsum(
+                        "blhc,bmhc->bhlm", qc, kcodes,
+                        preferred_element_type=jnp.int32).astype(jnp.float32)
+                    scores = (scores
+                              * qs.transpose(0, 2, 1, 3)
+                              * ks_all[:, :, None, :])
+                    if attn_bias is not None:
+                        scores = scores + attn_bias
+                    probs = jax.nn.softmax(scores, axis=-1)
+                    pv = probs * vs_all[:, :, None, :]
+                    pa = jnp.max(jnp.abs(pv), axis=-1, keepdims=True)
+                    ps = jnp.where(pa > 0, pa / 127.0, 1.0)  # [B,H,l,1]
+                    pc = jnp.round(pv / ps).astype(jnp.int8)
+                    oup = jnp.einsum(
+                        "bhlm,bmhc->blhc", pc, vcodes,
+                        preferred_element_type=jnp.int32).astype(jnp.float32)
+                    oup = (oup * ps.transpose(0, 2, 1, 3)).astype(
+                        x.dtype).reshape(b, l, heads * hd)
+                else:
+                    scores = jnp.einsum(
+                        "blhc,bmhc->bhlm", q, kcodes.astype(q.dtype),
+                        preferred_element_type=jnp.float32)
+                    scores = scores * ks_all[:, :, None, :]
+                    if attn_bias is not None:
+                        scores = scores + attn_bias
+                    probs = jax.nn.softmax(scores, axis=-1)
+                    pv = (probs * vs_all[:, :, None, :]).astype(q.dtype)
+                    oup = jnp.einsum(
+                        "bhlm,bmhc->blhc", pv, vcodes.astype(q.dtype)
+                    ).reshape(b, l, heads * hd)
             else:
                 def _decode(codes3, scales_hl):
                     codes = codes3[:, :end].reshape(b, end, heads, hd)
@@ -346,19 +375,27 @@ def block_forward(
 # Modulation precompute
 # ---------------------------------------------------------------------------
 
-def compute_modulations(params, cfg: VARConfig, cond_BD: Array) -> Array:
+def compute_modulations(params, cfg: VARConfig, cond_BD: Array,
+                        qrt=None) -> Array:
     """Per-block AdaLN modulation [depth, 6, B, 1, C].
 
     Non-shared: per-block SiLU->Linear(D,6C) (`basic_var.py:247-248,258`).
     Shared (512 models): shared SiLU->SharedAdaLin plus per-block ada_gss
-    (`var.py:85`, `basic_var.py:244-245,255-256`).
+    (`var.py:85`, `basic_var.py:244-245,255-256`).  With
+    QuantConfig.quantize_ada the SiLU(cond) input is act-quantized here
+    (the ada weights were fake-quantized offline by the recipe) — the layer
+    the reference's quantize_VAR intends to quantize but silently no-ops.
     """
     d = cfg.depth
     b = cond_BD.shape[0]
     c = cfg.width
+    act = jax.nn.silu(cond_BD)
+    aq = qrt.act_q.get("ada") if qrt is not None else None
+    if aq is not None:
+        act = aq(act)
     if cfg.shared_aln:
         gss = linear(
-            jax.nn.silu(cond_BD), params["shared_ada_lin"]["w"],
+            act, params["shared_ada_lin"]["w"],
             params["shared_ada_lin"]["b"],
         ).reshape(b, 6, c)                       # [B, 6, C]
         ada = params["blocks"]["ada_gss"]        # [depth, 6, C]
@@ -367,7 +404,6 @@ def compute_modulations(params, cfg: VARConfig, cond_BD: Array) -> Array:
     else:
         w = params["blocks"]["ada_lin"]["w"]     # [depth, 6C, D]
         bb = params["blocks"]["ada_lin"]["b"]    # [depth, 6C]
-        act = jax.nn.silu(cond_BD)
         mod = jnp.einsum("bd,kod->kbo", act, w) + bb[:, None, :]
         mod = mod.reshape(d, b, 6, c).transpose(0, 2, 1, 3)[:, :, :, None, :]
     return mod
@@ -478,7 +514,7 @@ def var_forward(
     lvl = jnp.asarray(lvl_1L(cfg))
     x = x + jnp.take(params["lvl_embed"], lvl, axis=0)[None] + params["pos_1LC"]
 
-    mod = compute_modulations(params, cfg, cond_BD)
+    mod = compute_modulations(params, cfg, cond_BD, qrt)
     bias = jnp.asarray(attn_bias_for_masking(cfg))
     x, _, _ = run_blocks(params, cfg, qrt, x, mod, attn_bias=bias)
     return head_logits(params, cfg, x.astype(jnp.float32), cond_BD)
@@ -605,7 +641,7 @@ def scale_step(
     return nxt, cache, f_hat, key
 
 
-def prepare_generation(params, cfg: VARConfig, label_B: Array):
+def prepare_generation(params, cfg: VARConfig, label_B: Array, qrt=None):
     """Condition embeddings + first token map (`var.py:160-172`)."""
     b = label_B.shape[0]
     uncond = jnp.full_like(label_B, cfg.num_classes)
@@ -615,7 +651,7 @@ def prepare_generation(params, cfg: VARConfig, label_B: Array):
     lvl_pos = jnp.take(params["lvl_embed"], lvl, axis=0)[None] + params["pos_1LC"]
     sos = cond_BD[:, None, :] + params["pos_start"] + lvl_pos[:, : cfg.first_l]
     first = jnp.broadcast_to(sos, (2 * b, cfg.first_l, cfg.width))
-    mod = compute_modulations(params, cfg, cond_BD)
+    mod = compute_modulations(params, cfg, cond_BD, qrt)
     return cond_BD, mod, lvl_pos, first
 
 

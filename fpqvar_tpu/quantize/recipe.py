@@ -118,6 +118,16 @@ def quantize_weights(blocks: dict, qcfg: QuantConfig) -> dict:
     return out
 
 
+def _ada_weight_quantizer(qcfg: QuantConfig):
+    import jax
+
+    fmt = "int_sym" if qcfg.int_quant else qcfg.weight_format
+    wq = Q.make_weight_quantizer(fmt, qcfg.w_bit,
+                                 granularity=qcfg.weight_quant,
+                                 group_size=qcfg.group_size)
+    return jax.jit(lambda w: wq(w))
+
+
 def quantize_var_params(
     params: dict,
     cfg: VARConfig,
@@ -152,6 +162,24 @@ def quantize_var_params(
             blocks = rotate_blocks(blocks, qcfg)
         if qcfg.enabled:
             blocks = quantize_weights(blocks, qcfg)
+            if qcfg.quantize_ada:
+                # ada_lin / shared_ada_lin weight quantization — what the
+                # reference's quantize_VAR intends but silently no-ops
+                # (`quant_utils.py:1232-1250`).  Always FAKE (dequantized
+                # weights): modulations are computed once per generation,
+                # so a packed/int8 ada GEMM would buy nothing.
+                wq = _ada_weight_quantizer(qcfg)
+                if "ada_lin" in blocks:
+                    al = dict(blocks["ada_lin"])
+                    w = al["w"]
+                    al["w"] = wq(w.astype(jnp.float32)).astype(w.dtype)
+                    blocks["ada_lin"] = al
+                if "shared_ada_lin" in out:
+                    sal = dict(out["shared_ada_lin"])
+                    w = jnp.asarray(np.asarray(sal["w"]), jnp.float32)
+                    sal["w"] = wq(w).astype(params["shared_ada_lin"]["w"].dtype)
+                    out["shared_ada_lin"] = jax.tree_util.tree_map(
+                        lambda a: jnp.asarray(np.asarray(a)), sal)
     # Materialize on the DEFAULT device as uncommitted arrays.  Two traps
     # this avoids: CPU-committed leaves silently pin downstream jits to the
     # CPU backend, and numpy leaves get re-uploaded to the device on every

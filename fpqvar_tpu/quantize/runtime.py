@@ -102,6 +102,9 @@ class QuantRuntime:
     kv_q: Optional[Callable] = None
     kv_mode: str = "store"
     kv_codec: Optional[KVCodec] = None
+    #: int8 MXU attention contractions over packed KV codes (config.py
+    #: QuantConfig.attn_int8); only meaningful with a value-codes kv_codec
+    attn_int8: bool = False
     rotation_block: Optional[jnp.ndarray] = None   # 128x128 block rotation
     rotation_full: Optional[jnp.ndarray] = None    # dense CxC rotation
     transform: bool = False
@@ -185,13 +188,22 @@ def build_runtime(qcfg: QuantConfig, depth: Optional[int] = None,
                 if f not in P.CODE_MULT and f not in P.DUAL_CODE_MULT:
                     raise ValueError(
                         f"int8 backend: unsupported act format {f!r} ({k})")
+            kv_q, kv_codec = _build_kv(qcfg)
+            if qcfg.quantize_ada:
+                # ada stays on the fake path even under the int8 backend:
+                # modulations are computed once per generation, never hot
+                act_q = dict(act_q)
+                act_q["ada"] = _ada_act_quantizer(qcfg)
             return QuantRuntime(
                 act_q=act_q, act_fmts=fmts, fused_fmt=fused_fmt,
-                kv_q=_build_kv(qcfg)[0], kv_codec=_build_kv(qcfg)[1],
+                kv_q=kv_q, kv_codec=kv_codec,
                 kv_mode=qcfg.kv_mode,
+                attn_int8=_check_attn_int8(qcfg, kv_codec),
                 rotation_block=rotation, rotation_full=rotation_full,
                 transform=qcfg.transform)
         act_q = {k: _act_quantizer_for(qcfg, fmts[k], k) for k in LAYER_KINDS}
+        if qcfg.quantize_ada:
+            act_q["ada"] = _ada_act_quantizer(qcfg)
         if (qcfg.fuse_act and qcfg.backend == "fake" and not qcfg.int_quant
                 and qcfg.act_quant == "per_group"
                 and qcfg.group_size == 128
@@ -223,10 +235,32 @@ def build_runtime(qcfg: QuantConfig, depth: Optional[int] = None,
         kv_q=kv_q,
         kv_mode=qcfg.kv_mode,
         kv_codec=kv_codec,
+        attn_int8=_check_attn_int8(qcfg, kv_codec),
         rotation_block=rotation,
         rotation_full=rotation_full,
         transform=qcfg.transform,
     )
+
+
+def _ada_act_quantizer(qcfg: QuantConfig):
+    """Per-token act quantizer for SiLU(cond) feeding ada_lin /
+    shared_ada_lin (QuantConfig.quantize_ada; format searched by
+    `search/search_fp_format_ada.py:396-469` — our search_ada_formats)."""
+    fmt = qcfg.resolved_ada_format()
+    if qcfg.int_quant or fmt in ("int_sym", "int_asym", "log2"):
+        fmt = "int_sym" if qcfg.act_sym else "int_asym"
+    return Q.make_act_quantizer(fmt, qcfg.a_bit, granularity="per_token",
+                                group_size=qcfg.group_size)
+
+
+def _check_attn_int8(qcfg: QuantConfig, kv_codec) -> bool:
+    if not qcfg.attn_int8:
+        return False
+    if kv_codec is None or not kv_codec.value_codes:
+        raise ValueError(
+            "attn_int8 requires kv_backend='packed' with an integer-value "
+            "kv format (fp_e2 / fp6_e2m3)")
+    return True
 
 
 def _build_kv(qcfg: QuantConfig):

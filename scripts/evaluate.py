@@ -61,9 +61,18 @@ def parse_args():
     p.add_argument("--block_rotate", action="store_true")
     p.add_argument("--transform", action="store_true")
     p.add_argument("--best-s-dir", type=str, default=None)
+    p.add_argument("--quantize_ada", action="store_true",
+                   help="quantize ada_lin/shared_ada_lin (the reference "
+                        "intends this but silently no-ops it)")
+    p.add_argument("--ada_fp_type", type=str, default="auto")
     # backend / generation
     p.add_argument("--backend", type=str, default="fake",
+                   choices=["fake", "packed", "int8"])
+    p.add_argument("--kv_backend", type=str, default="fake",
                    choices=["fake", "packed"])
+    p.add_argument("--attn_int8", action="store_true",
+                   help="int8 MXU attention over packed KV codes "
+                        "(requires --kv_backend packed)")
     p.add_argument("--out", type=str, required=True)
     p.add_argument("--num-img-per-class", type=int, default=50)
     p.add_argument("--classes", type=str, default=None,
@@ -108,6 +117,8 @@ def build_configs(args):
             args.activation_fp_quant or args.weight_fp_quant),
         rotate=args.rotate, block_rotate=args.block_rotate,
         transform=args.transform, backend=args.backend,
+        kv_backend=args.kv_backend, attn_int8=args.attn_int8,
+        quantize_ada=args.quantize_ada, ada_format=args.ada_fp_type,
     )
     gen = GenerateConfig(cfg=args.cfg, top_k=args.top_k, top_p=args.top_p,
                          seed=args.seed)
@@ -194,7 +205,7 @@ def main():
         mesh = make_mesh(MeshConfig(dp=args.dp, tp=args.tp))
         var_p = shard_params(var_p, mesh)
 
-    generator = VARGenerator(cfg, qcfg, gen_cfg)
+    generator = VARGenerator(cfg, qcfg, gen_cfg, mesh=mesh)
     if args.classes:
         a, b = args.classes.split(":")
         classes = range(int(a), int(b))

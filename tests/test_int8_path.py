@@ -245,6 +245,71 @@ def test_int8chs_single_grid_fc2_generation_matches_fake(tiny_model):
                                atol=2e-2)
 
 
+# ---------------------------------------------------------------------------
+# attn_int8: int8 MXU attention contractions over the packed KV codes
+# (QuantConfig.attn_int8 — a TPU-native extension; the reference never
+# quantizes q or the score matrix).
+# ---------------------------------------------------------------------------
+
+def test_attn_int8_requires_value_codes():
+    with pytest.raises(ValueError):
+        build_runtime(fpqvar_w4a4().replace(attn_int8=True))   # no packed KV
+    qrt = build_runtime(fpqvar_w4a4().replace(
+        attn_int8=True, kv_bit=6, kv_backend="packed"))
+    assert qrt.attn_int8
+
+
+def test_attn_int8_score_math_error_bound():
+    """The per-(token, head) int8 quantization of q reproduces the f32
+    score row to <= |q|_max * |k_code|_max * c / 254 absolute error, and is
+    EXACT when q is already an int8-code multiple of its scale."""
+    key = jax.random.PRNGKey(20)
+    b, l, h, c, m = 2, 5, 3, 64, 17
+    q = jax.random.normal(key, (b, l, h, c), jnp.float32)
+    kcodes = jax.random.randint(
+        jax.random.fold_in(key, 1), (b, m, h, c), -12, 13).astype(jnp.int8)
+
+    qa = jnp.max(jnp.abs(q), axis=-1, keepdims=True)
+    qs = jnp.where(qa > 0, qa / 127.0, 1.0)
+    qc = jnp.round(q / qs).astype(jnp.int8)
+    got = jnp.einsum("blhc,bmhc->bhlm", qc, kcodes,
+                     preferred_element_type=jnp.int32
+                     ).astype(jnp.float32) * qs.transpose(0, 2, 1, 3)
+    ref = jnp.einsum("blhc,bmhc->bhlm", q, kcodes.astype(jnp.float32))
+    bound = float(jnp.max(qa)) / 254.0 * 12 * c
+    assert float(jnp.max(jnp.abs(got - ref))) <= bound
+
+    # exactness when q rows are integer multiples of their scale
+    q_int = (qc.astype(jnp.float32) * qs)
+    qa2 = jnp.max(jnp.abs(q_int), axis=-1, keepdims=True)
+    qs2 = jnp.where(qa2 > 0, qa2 / 127.0, 1.0)
+    qc2 = jnp.round(q_int / qs2).astype(jnp.int8)
+    got2 = jnp.einsum("blhc,bmhc->bhlm", qc2, kcodes,
+                      preferred_element_type=jnp.int32
+                      ).astype(jnp.float32) * qs2.transpose(0, 2, 1, 3)
+    ref2 = jnp.einsum("blhc,bmhc->bhlm", q_int, kcodes.astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_attn_int8_generation_close_to_packed(tiny_model):
+    """attn_int8 generation must stay NaN-free and close to the plain
+    packed-KV attention (same codec; only the q / softmax-weight int8
+    rounding differs — <=1/254 of each row's absmax per side)."""
+    vae_p, var_p = tiny_model
+    base = fpqvar_w4a4().replace(transform=False, kv_bit=6,
+                                 kv_backend="packed")
+    key = jax.random.PRNGKey(22)
+    lab = jnp.array([3, 5])
+    qp = quantize_var_params(var_p, TINY, base)
+    img = VARGenerator(TINY, base).generate(qp, vae_p, lab, key)
+    img_i8 = VARGenerator(TINY, base.replace(attn_int8=True)).generate(
+        qp, vae_p, lab, key)
+    assert not bool(jnp.isnan(img_i8).any())
+    np.testing.assert_allclose(np.asarray(img_i8), np.asarray(img),
+                               atol=6e-2)
+
+
 def test_int8ch_generation_matches_fake(tiny_model):
     """int8ch generation == the fake backend at the SAME granularity
     (per-token acts / per-channel weights): identical quantized values,

@@ -256,6 +256,56 @@ def test_packed_kv_cache_matches_fake_store(tiny_model):
                                np.asarray(img_packed), atol=3e-2)
 
 
+def test_quantize_ada_actually_quantizes(tiny_model):
+    """QuantConfig.quantize_ada: ada weights change offline, SiLU(cond) is
+    act-quantized online, and generation stays NaN-free — the capability
+    the reference's quantize_VAR intends but silently no-ops
+    (`quant_utils.py:1232-1250`, SURVEY.md §2.3)."""
+    vae_p, var_p = tiny_model
+    qcfg = fpqvar_w4a4().replace(transform=False, quantize_ada=True)
+    qp = quantize_var_params(var_p, TINY, qcfg)
+    w0 = np.asarray(var_p["blocks"]["ada_lin"]["w"])
+    w1 = np.asarray(qp["blocks"]["ada_lin"]["w"])
+    assert not np.array_equal(w0, w1)            # weights were quantized
+    assert np.max(np.abs(w0 - w1)) < np.max(np.abs(w0))  # ...not garbage
+
+    qrt = build_runtime(qcfg, TINY.depth, TINY.width)
+    assert qrt.act_q.get("ada") is not None
+    cond = jax.random.normal(jax.random.PRNGKey(30), (2, TINY.width))
+    mod_q = V.compute_modulations(qp, TINY, cond, qrt)
+    mod_nq = V.compute_modulations(qp, TINY, cond, None)
+    assert not np.array_equal(np.asarray(mod_q), np.asarray(mod_nq))
+
+    key = jax.random.PRNGKey(31)
+    img = VARGenerator(TINY, qcfg).generate(
+        qp, vae_p, jnp.array([3, 5]), key)
+    assert not bool(jnp.isnan(img).any())
+    # the no-ada recipe on the same weights stays close (ada is one small
+    # conditioning linear; fp4 error there shifts modulations only mildly)
+    qcfg0 = qcfg.replace(quantize_ada=False)
+    img0 = VARGenerator(TINY, qcfg0).generate(
+        quantize_var_params(var_p, TINY, qcfg0), vae_p,
+        jnp.array([3, 5]), key)
+    assert float(jnp.mean(jnp.abs(img - img0))) < 0.25
+
+
+def test_quantize_ada_shared_aln():
+    """512-style shared AdaLN: shared_ada_lin weight is quantized too."""
+    cfg = VARConfig(
+        depth=2, embed_dim=128, num_heads=2, patch_nums=(1, 2),
+        shared_aln=True,
+        vae=VQVAEConfig(vocab_size=64, z_channels=8, patch_nums=(1, 2)))
+    var_p = V.init_var_params(jax.random.PRNGKey(2), cfg)
+    qcfg = fpqvar_w4a4().replace(transform=False, quantize_ada=True)
+    qp = quantize_var_params(var_p, cfg, qcfg)
+    w0 = np.asarray(var_p["shared_ada_lin"]["w"])
+    w1 = np.asarray(qp["shared_ada_lin"]["w"])
+    assert not np.array_equal(w0, w1)
+    np.testing.assert_array_equal(
+        np.asarray(qp["blocks"]["ada_gss"]),
+        np.asarray(var_p["blocks"]["ada_gss"]))   # gss table untouched
+
+
 def test_kv_codec_value_roundtrip_bit_exact(tiny_model):
     """decode(encode(x)) of the value-code codec == the fake per-token grid
     quantizer bit-wise (exact power-of-two rescale)."""
