@@ -246,7 +246,12 @@ def main():
              if len(bf16_samples) > 1 else None)
     quant = {k: v for k, v in results.items()
              if k.split("/")[0] != "bf16"}
-    best_name, ips_fp4 = max(quant.items(), key=lambda t: t[1])
+    if quant:
+        best_name, ips_fp4 = max(quant.items(), key=lambda t: t[1])
+    else:
+        # bf16-only probe run (capacity_study uses these to bracket a
+        # mode's max batch); report bf16 itself, ratio 1.
+        best_name, ips_fp4 = "bf16", ips_bf16
     detail = ", ".join(f"{k}={v:.3f}" for k, v in results.items())
     res = "512x512" if args.preset == "d36" else "256x256"
     print(json.dumps({
