@@ -114,13 +114,15 @@ def main():
                     help="override preset batch size")
     ap.add_argument("--modes", type=str, default=None,
                     help="comma list from bf16,fake,int8,int8ch,int8chs,"
-                         "packed,int8kv,int8att (default: bf16,fake,int8,"
-                         "int8ch,int8chs,packed; d36 preset adds int8kv = "
+                         "packed,w4a16,int8kv,int8att (default: bf16,fake,"
+                         "int8,int8ch,int8chs,packed; w4a16 = weights-only "
+                         "int8 codes + bf16 acts; d36 preset adds int8kv = "
                          "int8 GEMMs + packed int8 KV cache and int8att = "
                          "int8kv + int8 attention contractions)")
     args = ap.parse_args()
 
-    from fpqvar_tpu.config import GenerateConfig, QuantConfig, fpqvar_w4a4
+    from fpqvar_tpu.config import (GenerateConfig, QuantConfig, fpqvar_w4a4,
+                                   fpqvar_w4a16)
     from fpqvar_tpu.models import VARGenerator
     from fpqvar_tpu.models.var import init_var_params
     from fpqvar_tpu.models.vqvae import init_vqvae_params
@@ -184,6 +186,11 @@ def main():
         "int8chs": base.replace(backend="int8", weight_quant="per_channel",
                                 act_quant="per_token", fc2_format="fp_e2"),
         "packed": base.replace(backend="packed"),
+        # weights-only FP4 (W4A16, config.fpqvar_w4a16): int8 weight codes
+        # per-channel, acts stay bf16 — no act-quant chain, half the weight
+        # HBM bytes; the batch-1 latency deployment mode (no rotate/GALT:
+        # those tame act outliers and acts are unquantized here)
+        "w4a16": fpqvar_w4a16(),
         # int8ch GEMMs + packed int8 KV cache (per-token e2m1 codes +
         # scales; the HBM-capacity recipe for d36-512's L=2240 cache —
         # per-channel/per-token GEMM scales because per-group measured

@@ -121,6 +121,7 @@ FORMATS = (
     "fp6_int_neg_e2m3_pos",                     # fc2 asymmetric dual-grid fp6
     "fp8_e4m3",                                 # extension: native fp8 config
     "int_sym", "int_asym", "log2",
+    "bf16",     # act-side sentinel: NO act quantization (weights-only W4A16)
 )
 
 GRANULARITIES = ("per_token", "per_tensor", "per_group", "per_channel")
@@ -236,6 +237,25 @@ def fpqvar_w4a4() -> QuantConfig:
         weight_format="fp_e2", act_format="fp_e2",
         fc2_format="fp_e1m2_neg_e2m1_pos",
         rotate=True, block_rotate=True, transform=True,
+    )
+
+
+def fpqvar_w4a16() -> QuantConfig:
+    """Weights-only FP4 deployment recipe (TPU-native extension; the
+    reference has no weight-only mode — its forks always quantize acts).
+
+    int8 weight codes per output channel, activations stay bf16: every GEMM
+    is one bf16 MXU dot over converted codes with a single output-channel
+    rescale (ops/pallas/int8_matmul._wonly_dot).  Half the weight HBM
+    traffic of bf16 with NO act-quant chain — the batch-1 latency mode.
+    No rotation/GALT: those exist to tame activation outliers, and with
+    acts unquantized per-channel fp4 weights need neither.
+    """
+    return QuantConfig(
+        enabled=True, w_bit=4, a_bit=16, kv_bit=0,
+        weight_quant="per_channel", act_quant="per_token",
+        weight_format="fp_e2", act_format="bf16", fc2_format="bf16",
+        backend="int8",
     )
 
 

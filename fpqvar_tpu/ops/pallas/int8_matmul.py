@@ -315,19 +315,103 @@ def _shard_mapped(ac, asc, wcodes, wscales, *, mesh, parallel, group_size,
     return None
 
 
+def _wonly_dot(x2, wc, ws, group_size):
+    """Weights-only (W4A16 / W6A16) GEMM: activations stay bf16, weight
+    codes convert in the dot's operand read.
+
+    Per-channel (group_size == K): y = (x @ codes_bf16) * ws — ONE bf16
+    MXU dot, the per-output-channel scale applied once on the [M, N]
+    output.  Per-group: the grouped dequant ``codes * ws[g]`` is an
+    elementwise producer XLA fuses into the dot's weight read.  Weight HBM
+    traffic is the int8 code bytes — half of bf16 — which is the whole win
+    in the batch-1 weight-memory-bound regime (ROUND_NOTES_r02.md roofline:
+    26.5 GB -> 13.2 GB per d30 generation).  No act-quant chain at all.
+    """
+    k_dim, n = wc.shape
+    xb = x2.astype(jnp.bfloat16)
+    if group_size == k_dim:
+        p = jax.lax.dot_general(xb, wc.astype(jnp.bfloat16),
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        return p * ws
+    g = k_dim // group_size
+    wdq = (wc.reshape(g, group_size, n).astype(jnp.float32)
+           * ws[:, None, :]).astype(jnp.bfloat16).reshape(k_dim, n)
+    return jax.lax.dot_general(xb, wdq, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _wonly_shard_mapped(x2, wcodes, wscales, *, mesh, parallel, group_size,
+                        n, k_dim):
+    """Tensor-parallel weights-only GEMM (same Megatron col/row layout as
+    _shard_mapped; the activation is bf16, not codes)."""
+    from jax.sharding import PartitionSpec as P
+
+    tp = mesh.shape.get("tp", 1)
+    if tp <= 1:
+        return None
+    xr = "dp" if "dp" in mesh.axis_names else None
+    if xr is not None and x2.shape[0] % mesh.shape["dp"]:
+        xr = None
+    if parallel == "col" and n % (128 * tp) == 0:
+        fn = functools.partial(_wonly_dot, group_size=group_size)
+        return jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=(P(xr, None), P(None, "tp"), P(None, "tp")),
+            out_specs=P(xr, "tp"),
+        )(x2, wcodes, wscales)
+    if parallel == "row" and group_size == k_dim and k_dim % (128 * tp) == 0:
+        # per-channel: K splits over tp, the [1, N] scale does not — psum
+        # the f32 partials, scale once after the collective
+        def fn(a, wc, ws):
+            p = jax.lax.dot_general(
+                a.astype(jnp.bfloat16), wc.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return jax.lax.psum(p, "tp") * ws
+
+        return jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=(P(xr, "tp"), P("tp", None), P(None, None)),
+            out_specs=P(xr, None),
+        )(x2, wcodes, wscales)
+    if parallel == "row" and k_dim % (group_size * tp) == 0:
+        def fn(a, wc, ws):
+            return jax.lax.psum(
+                _wonly_dot(a, wc, ws, group_size), "tp")
+
+        return jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=(P(xr, "tp"), P("tp", None), P("tp", None)),
+            out_specs=P(xr, None),
+        )(x2, wcodes, wscales)
+    return None
+
+
 def int8_linear(x, pw: P.IntPack, act_fmt: str = None, *,
                 mesh=None, parallel: str = None, force_jnp: bool = False):
     """Quantize activation to int codes + run the grouped int8 GEMM.
 
     x [..., K] unquantized (post-rotation/smoothing); pw holds the weight
     codes.  ``act_fmt`` defaults to the weight format (the recipe's W=A
-    pairing for mat_qkv/proj/fc1).  With ``mesh`` + ``parallel`` the GEMM
-    runs tensor-parallel via shard_map (see _shard_mapped).  Returns
-    [..., N] in x.dtype.
+    pairing for mat_qkv/proj/fc1); ``act_fmt="bf16"`` selects the
+    weights-only path (activations NOT quantized — the W4A16 deployment
+    mode, see _wonly_dot).  With ``mesh`` + ``parallel`` the GEMM runs
+    tensor-parallel via shard_map (see _shard_mapped).  Returns [..., N]
+    in x.dtype.
     """
     n, k_dim = pw.shape[-2], pw.shape[-1]
     lead = x.shape[:-1]
     x2 = x.reshape(-1, k_dim)
+    if act_fmt == "bf16":
+        out = None
+        if mesh is not None and parallel is not None:
+            out = _wonly_shard_mapped(
+                x2, pw.codes, pw.scales, mesh=mesh, parallel=parallel,
+                group_size=pw.group_size, n=n, k_dim=k_dim)
+        if out is None:
+            out = _wonly_dot(x2, pw.codes, pw.scales, pw.group_size)
+        return out.reshape(lead + (n,)).astype(x.dtype)
     ac, asc = P.quant_int_codes(x2, act_fmt or pw.fmt, pw.group_size)
     out = None
     if mesh is not None and parallel is not None:

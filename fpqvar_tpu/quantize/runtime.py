@@ -185,7 +185,10 @@ def build_runtime(qcfg: QuantConfig, depth: Optional[int] = None,
                 raise ValueError(
                     "int8 backend does not support mixed_act_formats")
             for k, f in fmts.items():
-                if f not in P.CODE_MULT and f not in P.DUAL_CODE_MULT:
+                # "bf16" = weights-only (W4A16): acts bypass quantization,
+                # the GEMM is bf16 x dequantized-codes (int8_matmul._wonly_dot)
+                if (f != "bf16" and f not in P.CODE_MULT
+                        and f not in P.DUAL_CODE_MULT):
                     raise ValueError(
                         f"int8 backend: unsupported act format {f!r} ({k})")
             kv_q, kv_codec = _build_kv(qcfg)
@@ -201,7 +204,10 @@ def build_runtime(qcfg: QuantConfig, depth: Optional[int] = None,
                 attn_int8=_check_attn_int8(qcfg, kv_codec),
                 rotation_block=rotation, rotation_full=rotation_full,
                 transform=qcfg.transform)
-        act_q = {k: _act_quantizer_for(qcfg, fmts[k], k) for k in LAYER_KINDS}
+        # "bf16" act format = no activation quantizer (weights-only recipe)
+        act_q = {k: (None if fmts[k] == "bf16"
+                     else _act_quantizer_for(qcfg, fmts[k], k))
+                 for k in LAYER_KINDS}
         if qcfg.quantize_ada:
             act_q["ada"] = _ada_act_quantizer(qcfg)
         if (qcfg.fuse_act and qcfg.backend == "fake" and not qcfg.int_quant

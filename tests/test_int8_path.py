@@ -332,3 +332,69 @@ def test_int8ch_generation_matches_fake(tiny_model):
     assert not bool(jnp.isnan(img_ch).any())
     np.testing.assert_allclose(np.asarray(img_ch), np.asarray(img_fk),
                                atol=2e-2)
+
+
+# ---------------------------------------------------------------------------
+# w4a16: weights-only deployment mode (config.fpqvar_w4a16) — int8 weight
+# codes, activations stay bf16, no act-quant chain at all.  TPU-native
+# extension: the reference has no weight-only mode (all its forks quantize
+# activations).  The GEMM is bf16 x converted-codes with the per-channel
+# scale applied once on the output (int8_matmul._wonly_dot).
+# ---------------------------------------------------------------------------
+
+def test_wonly_linear_matches_weight_only_fake():
+    """int8_linear(..., "bf16") == x_bf16 @ fake-per-channel-quant(w).T."""
+    key = jax.random.PRNGKey(12)
+    x = jax.random.normal(key, (4, 33, 256), jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(key, 1), (128, 256))
+    pw = P.pack_int_codes(w, "fp_e2", group_size=256)   # per-channel
+    got = int8_linear(x, pw, "bf16")
+    # per-channel wonly scales AFTER the dot (codes are exact small ints,
+    # bf16-exact), so the reference keeps the dequantized weight in f32 —
+    # the path is slightly MORE precise than a bf16-rounded-weight GEMM
+    wq = Q.fake_quant_fp(w, "fp_e2", granularity="per_channel")
+    ref = np.asarray(x.astype(jnp.bfloat16), dtype=np.float32) @ np.asarray(
+        wq, dtype=np.float32).T
+    np.testing.assert_allclose(np.asarray(got, dtype=np.float32), ref,
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_wonly_linear_per_group():
+    """Grouped weights-only path: dequant fuses into the dot's weight read."""
+    key = jax.random.PRNGKey(13)
+    x = jax.random.normal(key, (8, 256), jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(key, 1), (128, 256))
+    pw = P.pack_int_codes(w, "fp_e2", group_size=128)
+    got = int8_linear(x, pw, "bf16")
+    wq = Q.fake_quant_fp(w, "fp_e2", granularity="per_group")
+    ref = x.astype(jnp.bfloat16).astype(jnp.float32) @ np.asarray(
+        wq.astype(jnp.bfloat16), dtype=np.float32).T
+    np.testing.assert_allclose(np.asarray(got, dtype=np.float32), ref,
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_w4a16_generation_matches_weight_only_fake(tiny_model):
+    """fpqvar_w4a16 on the int8 backend == the same weights-only recipe on
+    the fake backend (identical quantized weight values; acts untouched on
+    both sides) — and both run NaN-free end to end."""
+    from fpqvar_tpu.config import fpqvar_w4a16
+
+    vae_p, var_p = tiny_model
+    key = jax.random.PRNGKey(14)
+    label = jnp.array([4, 7])
+
+    qcfg = fpqvar_w4a16()
+    rt = build_runtime(qcfg, TINY.depth, TINY.width)
+    assert all(v is None for v in rt.act_q.values())
+
+    qp = quantize_var_params(var_p, TINY, qcfg)
+    pw = qp["blocks"]["mat_qkv_w"]
+    assert pw.group_size == pw.shape[-1]
+    img = VARGenerator(TINY, qcfg).generate(qp, vae_p, label, key)
+    assert not bool(jnp.isnan(img).any())
+
+    qcfg_fk = qcfg.replace(backend="fake")
+    qp_fk = quantize_var_params(var_p, TINY, qcfg_fk)
+    img_fk = VARGenerator(TINY, qcfg_fk).generate(qp_fk, vae_p, label, key)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(img_fk),
+                               atol=2e-2)
