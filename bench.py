@@ -62,12 +62,20 @@ def time_generate(gen, params, vae_params, label, key, rounds=3):
     # warmup + compile
     imgs = gen.generate(params, vae_params, label, key)
     imgs.block_until_ready()
-    t0 = time.perf_counter()
+    # per-round MEDIAN, not mean: the remote-TPU relay injects multi-second
+    # stalls into otherwise-steady sub-second calls (observed: the same
+    # cached bf16 program measuring 3.4 vs 12.0 img/s minutes apart when
+    # one stall lands inside a ~4 s mean window).  The median of the round
+    # latencies is the steady-state rate and is what the hardware actually
+    # sustains.
+    dts = []
     for i in range(rounds):
+        t0 = time.perf_counter()
         imgs = gen.generate(params, vae_params, label,
                             jax.random.fold_in(key, i))
         imgs.block_until_ready()
-    dt = (time.perf_counter() - t0) / rounds
+        dts.append(time.perf_counter() - t0)
+    dt = float(np.median(dts))
     assert not bool(jnp.isnan(imgs).any()), "NaN in generated images"
     return label.shape[0] / dt
 
@@ -210,7 +218,8 @@ def main():
     elif args.preset == "d36":
         modes = ["bf16", "int8", "int8kv", "int8att"]
     else:
-        modes = ["bf16", "fake", "int8", "int8ch", "int8chs", "packed"]
+        modes = ["bf16", "fake", "int8", "int8ch", "int8chs", "packed",
+                 "w4a16"]
 
     # The remote-TPU relay's throughput drifts up to 3-4x over minutes, and
     # at d30 batch 8 only ONE param set + program workspace fits in 16GB
