@@ -363,7 +363,15 @@ def block_forward(
             x2 = x2 @ rot_full.astype(x2.dtype)
         h1, x2 = _q_then_lin("fc1", x2, bp["fc1_w"], bp["fc1_b"])
         h = gelu_tanh(h1)
-    out, h_t = _q_then_lin("fc2", h, bp["fc2_w"], bp["fc2_b"])
+    if _fused_ok("fc2", bp["fc2_w"]):
+        from fpqvar_tpu.ops.pallas.act_pipeline import fused_rotquant_linear
+
+        out = fused_rotquant_linear(
+            h, bp["fc2_w"], None, fused["fc2"], rotate=False)
+        out = out + bp["fc2_b"].astype(out.dtype)
+        h_t = h
+    else:
+        out, h_t = _q_then_lin("fc2", h, bp["fc2_w"], bp["fc2_b"])
     if capture:
         taps["fc1"] = x2
         taps["fc2"] = h_t

@@ -33,6 +33,12 @@ from fpqvar_tpu.ops import grids as G
 FUSED_FORMATS = ("fp_e2", "fp_e1", "fp_e3", "fp6_e2m3", "fp6_e3m2",
                  "fp8_e4m3")
 
+#: sign-split dual-grid formats (the asymmetric fc2 family,
+#: `quant_utils.py:380-451,498-535,658-727`) supported by the two-phase
+#: fused path — separate neg/pos scales and snap chains per 128-group
+DUAL_FUSED_FORMATS = ("fp_e1m2_neg_e2m1_pos", "fp4_afpq",
+                      "fp6_int_neg_e2m3_pos")
+
 
 def _snap_chain(x, grid: np.ndarray):
     """Gather-free cumulative-delta snap (same as quantizers.snap_to_grid),
@@ -163,6 +169,59 @@ def _rotquant_2d(x, q, *, fmt, k_dim, rotate, interpret=False):
     return out[:m] if m_pad != m else out
 
 
+def _rotquant_dual_kernel(x_ref, q_ref, out_ref, *, bkg, neg_grid, pos_grid,
+                          ngmax, pgmax, rotate):
+    """Phase-1 kernel, dual-grid variant: rotate + sign-split per-group
+    quantize (independent neg/pos scales, `quantizers.fake_quant_dual`)."""
+    for gi in range(bkg):
+        xg = x_ref[:, 128 * gi: 128 * (gi + 1)].astype(jnp.float32)
+        if rotate:
+            xg = jnp.dot(xg, q_ref[:], preferred_element_type=jnp.float32)
+        x_neg = jnp.where(xg <= 0, xg, 0.0)
+        x_pos = jnp.where(xg > 0, xg, 0.0)
+        amax_n = jnp.max(jnp.abs(x_neg), axis=1, keepdims=True)
+        amax_p = jnp.max(x_pos, axis=1, keepdims=True)
+        s_n = jnp.where(amax_n > 0, amax_n * jnp.float32(1.0 / ngmax), 1.0)
+        s_p = jnp.where(amax_p > 0, amax_p * jnp.float32(1.0 / pgmax), 1.0)
+        q_n = _snap_chain(x_neg * pl.reciprocal(s_n, approx=False), neg_grid)
+        q_p = _snap_chain(x_pos * pl.reciprocal(s_p, approx=False), pos_grid)
+        out_ref[:, 128 * gi: 128 * (gi + 1)] = (
+            q_n * s_n + q_p * s_p).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("fmt", "k_dim", "rotate",
+                                             "interpret"))
+def _rotquant_dual_2d(x, q, *, fmt, k_dim, rotate, interpret=False):
+    """dual_quantize(rotate(x)) [M, K] -> bf16 [M, K] in one pass."""
+    m = x.shape[0]
+    neg_grid, pos_grid = G.DUAL_GRIDS[fmt]
+    ngmax = float(np.max(np.abs(neg_grid)))
+    pgmax = float(np.max(np.abs(pos_grid)))
+    bkg = _pick(k_dim, 128, (5, 4, 3, 2, 1))
+    bk = 128 * bkg
+    bm = 1024 if m >= 1024 else (256 if m >= 256 else 8)
+    m_pad = _round_up(max(m, 8), bm) if m > bm else _round_up(max(m, 8), 8)
+    bm_eff = min(bm, m_pad)
+    if m_pad != m:
+        x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_rotquant_dual_kernel, bkg=bkg, neg_grid=neg_grid,
+                          pos_grid=pos_grid, ngmax=ngmax, pgmax=pgmax,
+                          rotate=rotate),
+        grid=(m_pad // bm_eff, k_dim // bk),
+        in_specs=[
+            pl.BlockSpec((bm_eff, bk), lambda i, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm_eff, bk), lambda i, kk: (i, kk),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, k_dim), jnp.bfloat16),
+        interpret=interpret,
+    )(x, q)
+    return out[:m] if m_pad != m else out
+
+
 def fused_rotquant_linear(x, w, q128, fmt: str, *, rotate: bool = True,
                           force_jnp: bool = False, interpret: bool = False,
                           mode: str = "two_phase"):
@@ -178,10 +237,11 @@ def fused_rotquant_linear(x, w, q128, fmt: str, *, rotate: bool = True,
     n, k_dim = w.shape
     lead = x.shape[:-1]
     x2 = x.reshape(-1, k_dim)
+    dual = fmt in DUAL_FUSED_FORMATS
     usable = (
         not force_jnp
         and (jax.default_backend() == "tpu" or interpret)
-        and fmt in FUSED_FORMATS
+        and (fmt in FUSED_FORMATS or dual)
         and n % 128 == 0
         and k_dim % 128 == 0
     )
@@ -189,21 +249,28 @@ def fused_rotquant_linear(x, w, q128, fmt: str, *, rotate: bool = True,
         q = (jnp.asarray(q128, jnp.float32) if q128 is not None
              else jnp.eye(128, dtype=jnp.float32))
         do_rot = rotate and q128 is not None
-        if mode == "one_kernel":
+        if mode == "one_kernel" and not dual:
             out = _fused_matmul_2d(x2, w, q, fmt=fmt, n=n, k_dim=k_dim,
                                    rotate=do_rot, interpret=interpret)
         else:
-            xq = _rotquant_2d(x2, q, fmt=fmt, k_dim=k_dim, rotate=do_rot,
-                              interpret=interpret)
+            # dual-grid formats always take the two-phase path
+            rq = _rotquant_dual_2d if dual else _rotquant_2d
+            xq = rq(x2, q, fmt=fmt, k_dim=k_dim, rotate=do_rot,
+                    interpret=interpret)
             out = jnp.dot(xq, w.astype(jnp.bfloat16).T,
                           preferred_element_type=jnp.float32)
     else:
         from fpqvar_tpu.ops.hadamard import apply_block_hadamard
-        from fpqvar_tpu.ops.quantizers import fake_quant_fp
+        from fpqvar_tpu.ops.quantizers import fake_quant_dual, fake_quant_fp
 
         xr = (apply_block_hadamard(x2, jnp.asarray(q128, x2.dtype))
               if (rotate and q128 is not None) else x2)
-        xq = fake_quant_fp(xr, fmt, granularity="per_group", group_size=128)
+        if dual:
+            xq = fake_quant_dual(xr, fmt, granularity="per_group",
+                                 group_size=128)
+        else:
+            xq = fake_quant_fp(xr, fmt, granularity="per_group",
+                               group_size=128)
         out = (xq.astype(jnp.bfloat16) @ w.astype(jnp.bfloat16).T
                ).astype(jnp.float32)
     return out.reshape(lead + (n,)).astype(x.dtype)

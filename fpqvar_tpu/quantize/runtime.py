@@ -214,10 +214,11 @@ def build_runtime(qcfg: QuantConfig, depth: Optional[int] = None,
                 and qcfg.act_quant == "per_group"
                 and qcfg.group_size == 128
                 and qcfg.mixed_act_formats is None):
-            from fpqvar_tpu.ops.pallas.act_pipeline import FUSED_FORMATS
+            from fpqvar_tpu.ops.pallas.act_pipeline import (
+                DUAL_FUSED_FORMATS, FUSED_FORMATS)
 
             for k in LAYER_KINDS:
-                if fmts[k] in FUSED_FORMATS:
+                if fmts[k] in FUSED_FORMATS or fmts[k] in DUAL_FUSED_FORMATS:
                     fused_fmt[k] = fmts[k]
 
         if qcfg.mixed_act_formats is not None:
