@@ -239,8 +239,7 @@ _RESET_CLASSES = (
     torch.nn.ConvTranspose1d, torch.nn.ConvTranspose2d)
 
 
-@pytest.fixture(scope="module")
-def ref_models(ref):
+def _build_ref_models(shared_aln: bool):
     """Reference (VQVAE, VAR) at a tiny config with seeded random weights.
 
     build_vae_var globally disables reset_parameters (models/__init__.py:24)
@@ -253,7 +252,7 @@ def ref_models(ref):
     try:
         vae, var = rbuild(
             "cpu", patch_nums=PATCH, V=V, Cvae=CVAE, ch=CH,
-            num_classes=NCLS, depth=DEPTH, shared_aln=False,
+            num_classes=NCLS, depth=DEPTH, shared_aln=shared_aln,
             attn_l2_norm=True, flash_if_available=False,
             fused_if_available=False)
     finally:
@@ -267,6 +266,11 @@ def ref_models(ref):
     vae.eval()
     var.eval()
     return vae.float(), var.float()
+
+
+@pytest.fixture(scope="module")
+def ref_models(ref):
+    return _build_ref_models(shared_aln=False)
 
 
 @pytest.fixture(scope="module")
@@ -440,6 +444,31 @@ def test_full_recipe_stepwise_parity(ref, ref_models, our_cfg, our_params):
     our_steps, our_img = _our_generate(our_cfg, vae_p, qp, qrt=qrt)
     _check_steps(ref_steps, our_steps, atol=5e-4, rtol=5e-3)
     assert not np.isnan(our_img).any()
+
+
+def test_shared_aln_stepwise_parity(ref, our_cfg):
+    """shared_aln=True (the 512x512 family: SiLU->SharedAdaLin(D,6C) shared
+    across blocks + per-block ada_gss, reference `var.py:85`,
+    `basic_var.py:244-256`): greedy stepwise decode parity on shared random
+    weights — validates our compute_modulations shared path and the
+    shared_ada_lin/ada_gss checkpoint conversion."""
+    import dataclasses
+
+    from fpqvar_tpu.utils import checkpoint as C
+
+    ref_vae, ref_var = _build_ref_models(shared_aln=True)
+    cfg = dataclasses.replace(our_cfg, shared_aln=True)
+    var_sd = {k: v.detach().numpy() for k, v in ref_var.state_dict().items()}
+    vae_sd = {k: v.detach().numpy() for k, v in ref_vae.state_dict().items()}
+    f32 = lambda t: jax.tree_util.tree_map(  # noqa: E731
+        lambda a: jnp.asarray(a, jnp.float32), t)
+    var_p = f32(C.convert_var_state_dict(var_sd, cfg))
+    vae_p = f32(C.convert_vqvae_state_dict(vae_sd, cfg.vae))
+
+    ref_steps, ref_img = _ref_generate(ref, (ref_vae, ref_var))
+    our_steps, our_img = _our_generate(cfg, vae_p, var_p)
+    _check_steps(ref_steps, our_steps, atol=5e-5, rtol=5e-4)
+    np.testing.assert_allclose(our_img, ref_img, atol=1e-4)
 
 
 def test_kv6_stepwise_parity(ref, ref_models, our_cfg, our_params):
