@@ -161,7 +161,6 @@ def main():
             vae_p)
     dev = jax.devices()[0]
     vae_p = jax.device_put(vae_p, dev)
-    label = jnp.arange(batch, dtype=jnp.int32) % cfg.num_classes
     gen_cfg = GenerateConfig()
 
     # Two fp4 execution modes are benchmarked (ARCHITECTURE.md "three
@@ -189,14 +188,15 @@ def main():
         "int8": base.replace(backend="int8"),
         # int8ch: per-channel weight / per-token act scales -> ONE full-K
         # int8 MXU dot per GEMM, scales applied once outside the
-        # contraction (roofline: full-K int8 runs 1.33x the bf16 rate on
-        # v5e; per-group scaling erases that — scripts/kernel_roofline.py)
+        # contraction (roofline: full-K int8 holds the bf16 GEMM rate with
+        # half the bytes; per-group scaling drops to ~0.6-0.75x of it —
+        # scripts/kernel_roofline.py)
         "int8ch": base.replace(backend="int8", weight_quant="per_channel",
                                act_quant="per_token"),
         # int8chs: int8ch + single-grid fc2 acts.  Dual-grid fc2 needs TWO
         # int8 GEMMs (disjoint neg/pos codes share no scale), and fc2 is
-        # 4/12 of block GEMM flops — doubling it exactly cancels the 1.33x
-        # int8 MXU rate (measured: int8ch 0.87x ~= fake 0.89x).  Single-grid
+        # 4/12 of block GEMM flops — doubling it costs more than the int8
+        # rate buys (measured: int8ch 0.87x ~= fake 0.89x).  Single-grid
         # fc2 keeps every GEMM at 1x count -> the full-throughput recipe;
         # quality delta of dual-vs-single is ~10% logit MSE
         # (tests/test_recipe_ablation.py ladder).

@@ -184,7 +184,7 @@ class QuantConfig:
     #:            integer arithmetic, tighter than the fake bf16 GEMM).
     #:            With weight_quant="per_channel" + act_quant="per_token"
     #:            ("int8ch") the scales hoist fully out of the contraction
-    #:            and every GEMM is ONE full-K int8 MXU dot — measured 1.33x
+    #:            and every GEMM is ONE full-K int8 MXU dot — rate parity with
     #:            the bf16 GEMM rate on v5e, where per-group-128 scaling
     #:            drops to 0.74x (scripts/kernel_roofline.py); quality cost
     #:            of the coarser scales is ~2x logit MSE with rotation on

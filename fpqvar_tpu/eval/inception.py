@@ -202,10 +202,14 @@ def inception_features(
     return pool3, spatial.reshape(n, -1), probs
 
 
+_jit_inception = jax.jit(inception_features)
+
+
 def extract_features_batched(params, images: np.ndarray, batch: int = 64):
     """Host-side driver: uint8/float images [N, 3, H, W] -> numpy feature
-    arrays, jit-compiled per batch shape."""
-    fwd = jax.jit(lambda p, im: inception_features(p, im))
+    arrays, jit-compiled per batch shape (module-level jit so repeated calls
+    — e.g. score.py's ref + sample extractions — share one compilation)."""
+    fwd = _jit_inception
     pool3, spatial, probs = [], [], []
     n = images.shape[0]
     for i in range(0, n, batch):

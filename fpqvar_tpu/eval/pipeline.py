@@ -61,9 +61,11 @@ def generate_eval_set(
             #             checkpoint (a partial crash re-runs the class)
         produced = 0
         while produced < num_img_per_class:
-            b = min(batch, num_img_per_class - produced)
-            if mesh is not None and b % mesh.shape["dp"]:
-                b = batch                     # keep the compiled batch shape
+            # always generate at the full compiled batch shape and slice the
+            # tail (a fresh tail shape would re-trace the whole multi-scale
+            # generator — minutes over the remote-TPU relay); the extra rows
+            # of the final batch are discarded by the [:remaining] slice
+            b = batch
             label = jnp.full((b,), ci, jnp.int32)
             key = jax.random.PRNGKey(seed)
             key = jax.random.fold_in(key, ci * 1000 + produced)

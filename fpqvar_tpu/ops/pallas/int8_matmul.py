@@ -173,9 +173,13 @@ def _int8ch_matmul_2d(acodes, ascales, wcodes, wscales, *, n, k_dim,
     f32, wcodes [K, N] int8, wscales [1, N] f32 -> [M, N] out_dtype."""
     m = acodes.shape[0]
     bn = 128 * _pick(n, 128, (4, 3, 2, 1))
-    bk = min(k_dim, 1920)
-    while k_dim % bk:
-        bk //= 2
+    # largest 128-aligned divisor of K up to 1920 (halving would degrade to
+    # sub-128 blocks for K like 2304 = d36's width, breaking int8 tiling)
+    bk = 128
+    for cand in range(min(k_dim, 1920), 127, -128):
+        if k_dim % cand == 0:
+            bk = cand
+            break
     bm = 1024 if m >= 1024 else (512 if m >= 512 else 128)
     m_pad = _round_up(max(m, 32), bm) if m > bm else _round_up(max(m, 32), 32)
     bm_eff = min(bm, m_pad)

@@ -61,12 +61,10 @@ def make_kv_codec(fmt: str) -> KVCodec:
 
     if mult is not None:
         def encode(x):
-            xf = x.astype(jnp.float32)
-            amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-            scales = jnp.where(amax > 0, amax / gmax, 1.0)
-            snapped = Q.snap_to_grid(xf / scales, grid)
-            codes = jnp.round(snapped * mult).astype(jnp.int8)
-            return codes, scales / mult
+            # one group spanning the whole last dim == per-token; reuses the
+            # int8-backend encoder so a snap/tie or zero-absmax fix there
+            # applies to the KV codec too (bit-parity with fake store mode)
+            return P.quant_int_codes(x, fmt, group_size=x.shape[-1])
 
         def decode(codes, scales):
             return codes.astype(scales.dtype) * scales

@@ -13,18 +13,28 @@ v5e peak (197 bf16 / 394 int8 TOPS) for:
                  no per-group scaling: NOT a valid quantization, just the
                  hardware's achievable int8 rate through this stack)
 
-Measured (v5e via axon relay, m=4096 k=1920 n=5760, 30 in-loop iters,
-2026-08-17 — the timing window must FETCH the result: block_until_ready
-through the relay returns before execution):
+Measured (v5e via axon relay, m=4096 k=1920 n=5760, 30 in-loop iters;
+the timing window must FETCH the result: block_until_ready through the
+relay returns before execution).  Ranges over several windows across
+2026-08-17/18 — individual legs drift with the relay, so only the
+ORDERING and the grouped-vs-full-K gap are stable:
 
-  bf16 GEMM      :  79.6 TFLOP/s (40.4% of bf16 peak)
-  grouped int8   :  59.1 TOP/s   (15.0% of int8 peak)
-  int8 full-K dot: 105.7 TOP/s   (26.8% of int8 peak, 1.33x the bf16 rate)
+  bf16 GEMM      :  80-105 TFLOP/s (40-53% of bf16 peak)
+  grouped int8   :  59-72  TOP/s   (15-18% of int8 peak)  <- consistently lowest
+  int8 full-K dot:  70-107 TOP/s   (18-27% of int8 peak)
 
-Reading: the MXU's int8 path genuinely beats bf16 (1.33x) at these shapes,
-but per-group-128 scaling erases the win — each K=128 group adds ~4 VPU
-passes over the [bm, bn] partial (f32 convert, *sa, *sw, accumulate),
-which at 128-deep groups costs more VPU time than the MXU dot itself.
+Canonical median-of-5-windows run (2026-08-18, after this script switched
+to per-leg median timing): bf16 100.9 TFLOP/s vs int8 full-K 101.6 TOP/s
+— exact rate parity; grouped int8 71.6 (0.70x of full-K); full int8ch
+chain incl. act quantize 72.2.
+
+Reading: through this stack the int8 full-K dot runs at roughly the SAME
+absolute rate as bf16 (their ranges overlap; the early "1.33x int8"
+reading came from a slow bf16 window) — the MXU's nominal 2x int8 rate is
+not realized, but int8 holds rate with half the weight bytes.  Per-group-
+128 scaling is consistently ~0.6-0.75x of full-K: each K=128 group adds
+~4 VPU passes over the [bm, bn] partial (f32 convert, *sa, *sw,
+accumulate), which costs more VPU time than the group's MXU dot.
 Per-group scaling is a quality knob of the recipe; the speed-side
 conclusion is the int8ch backend (per-channel weight / per-token act
 scales hoisted out of the contraction entirely -> one full-K int8 dot).
@@ -63,11 +73,19 @@ def timed(fn, *args, iters):
     args = [jax.device_put(a) for a in args]
     drain(args)
     drain(fn(*args))                     # compile + warm
-    args2 = [jax.device_put(a) for a in [bump(a) for a in args]]
-    drain(args2)                         # uploads outside the window
-    t0 = time.perf_counter()
-    drain(fn(*args2))
-    return (time.perf_counter() - t0) / iters
+    # MEDIAN of repeated windows: the relay injects multi-second stalls
+    # into individual calls (the same program has measured 69 vs 107 TOP/s
+    # minutes apart); each repeat bumps its inputs so the relay's
+    # (program, inputs) memoization can't skip the work
+    dts = []
+    cur = args
+    for _ in range(5):
+        cur = [jax.device_put(a) for a in [bump(a) for a in cur]]
+        drain(cur)                       # uploads outside the window
+        t0 = time.perf_counter()
+        drain(fn(*cur))
+        dts.append(time.perf_counter() - t0)
+    return float(np.median(dts)) / iters
 
 
 def main():
@@ -114,7 +132,11 @@ def main():
             y = jax.lax.dot_general(
                 aa, wc, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
-            return (aa ^ (y[0, 0] & 0).astype(jnp.int8), acc + y[0, 0])
+            # real loop-carried dependency: flip the sign of one lane based
+            # on the previous dot so XLA cannot hoist the dot out of the
+            # loop (x & 0 == 0 folds away — it must feed the next operand)
+            return (aa ^ (y[:1, :1] % 2).astype(jnp.int8),
+                    acc + y[0, 0])
         return jax.lax.fori_loop(0, iters, body, (ac, jnp.int32(0)))[1]
 
     # the int8ch building blocks at full fidelity: dot + outer rescale,

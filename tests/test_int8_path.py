@@ -181,6 +181,24 @@ def test_int8ch_kernel_matches_channel_dot_interpret():
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
+def test_int8ch_kernel_d36_width_interpret():
+    """K=2304 (the d36-512 width) must pick a 128-aligned K-block: the old
+    halving fallback degenerated to bk=3 there, violating int8 tiling."""
+    from fpqvar_tpu.ops.pallas.int8_matmul import (
+        _channel_dot, _int8ch_matmul_2d)
+
+    key = jax.random.PRNGKey(23)
+    m, k_dim, n = 16, 2304, 128
+    x = jax.random.normal(key, (m, k_dim))
+    w = jax.random.normal(jax.random.fold_in(key, 1), (n, k_dim))
+    ac, asc = P.quant_int_codes(x, "fp_e2", group_size=k_dim)
+    pw = P.pack_int_codes(w, "fp_e2", group_size=k_dim)
+    ref = _channel_dot(ac, asc, pw.codes, pw.scales).astype(jnp.bfloat16)
+    out = _int8ch_matmul_2d(ac, asc, pw.codes, pw.scales, n=n, k_dim=k_dim,
+                            interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
 def test_int8ch_codes_reproduce_per_token_fake():
     """group_size == K makes quant_int_codes per-token: codes * scale must
     equal fake_quant_fp(granularity='per_token') bit-wise."""
