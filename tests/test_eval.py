@@ -115,3 +115,10 @@ def test_eval_driver_resume(tmp_path):
                       classes=[0, 1])
     assert all(os.path.getmtime(os.path.join(d, f)) == m
                for f, m in mtimes.items())
+    # tail batch: num_img % batch != 0 always generates at the compiled
+    # batch shape and slices the remainder (no re-trace, no extra files)
+    d2 = os.path.join(tmp_path, "figs_tail")
+    generate_eval_set(gen, var_p, vae_p, d2, num_img_per_class=3, batch=2,
+                      classes=[2])
+    assert sorted(os.listdir(d2)) == [
+        "class2_img0.png", "class2_img1.png", "class2_img2.png"]
