@@ -1,3 +1,8 @@
+from fpqvar_tpu.train.resume import (  # noqa: F401
+    auto_resume,
+    make_manager,
+    save_train_state,
+)
 from fpqvar_tpu.train.trainer import (  # noqa: F401
     TrainState,
     cross_entropy_loss,
