@@ -1,3 +1,8 @@
+from fpqvar_tpu.train.data import (  # noqa: F401
+    dist_infinite_batches,
+    eval_shard,
+    infinite_batches,
+)
 from fpqvar_tpu.train.resume import (  # noqa: F401
     auto_resume,
     make_manager,
