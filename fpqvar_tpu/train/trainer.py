@@ -106,27 +106,38 @@ def make_train_state(params, optimizer: optax.GradientTransformation):
 def loss_fn(
     params, cfg: VARConfig, qrt, label_B, x_teacher, targets,
     cond_drop_key=None, label_smoothing: float = 0.0,
+    mixed_precision: bool = False,
 ):
     """Teacher-forcing CE loss with classifier-free-guidance label dropout
     (`models/var.py:229`: labels replaced by num_classes w.p.
-    cond_drop_rate)."""
+    cond_drop_rate).  ``mixed_precision`` runs the forward in bf16 (MXU
+    rate) off f32 master params — the TPU replacement for the reference's
+    torch AMP scaler (`utils/amp_sc.py:15`; bf16 needs no loss scaling);
+    the loss itself is reduced in f32."""
     if cond_drop_key is not None and cfg.cond_drop_rate > 0:
         drop = jax.random.bernoulli(
             cond_drop_key, cfg.cond_drop_rate, label_B.shape)
         label_B = jnp.where(drop, cfg.num_classes, label_B)
-    logits = V.var_forward(params, cfg, qrt, label_B, x_teacher)
-    return cross_entropy_loss(logits, targets, label_smoothing)
+    fwd = params
+    if mixed_precision:
+        fwd = jax.tree_util.tree_map(
+            lambda v: v.astype(jnp.bfloat16)
+            if v.dtype == jnp.float32 else v, params)
+        x_teacher = x_teacher.astype(jnp.bfloat16)
+    logits = V.var_forward(fwd, cfg, qrt, label_B, x_teacher)
+    return cross_entropy_loss(
+        logits.astype(jnp.float32), targets, label_smoothing)
 
 
 def train_step(
     state: TrainState, cfg: VARConfig, optimizer, batch: Dict[str, Any],
-    qrt=None, key=None,
+    qrt=None, key=None, mixed_precision: bool = False,
 ):
     """One optimization step.  ``batch`` = {"label": [B], "x": [B, L-1st, Cvae],
     "targets": [B, L]}.  jit/shard outside (see fpqvar_tpu.parallel)."""
     loss, grads = jax.value_and_grad(loss_fn)(
         state.params, cfg, qrt, batch["label"], batch["x"], batch["targets"],
-        cond_drop_key=key)
+        cond_drop_key=key, mixed_precision=mixed_precision)
     updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     return TrainState(params, opt_state, state.step + 1), {"loss": loss}

@@ -39,6 +39,8 @@ def main():
     p.add_argument("--wd", type=float, default=0.05)
     p.add_argument("--warmup-frac", type=float, default=0.005)
     p.add_argument("--label-smooth", type=float, default=0.0)
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 forward off f32 master params")
     p.add_argument("--dp", type=int, default=1)
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--coordinator", type=str, default=None)
@@ -124,7 +126,8 @@ def main():
     print("\n".join(info))
 
     step_fn = jax.jit(
-        lambda s, bt, k: train_step(s, cfg, optimizer, bt, key=k),
+        lambda s, bt, k: train_step(
+            s, cfg, optimizer, bt, key=k, mixed_precision=args.bf16),
         in_shardings=(state_sh, batch_sh, repl),
         # pin outputs to the same specs so state round-trips across steps
         # (XLA would otherwise pick its own, e.g. tp-sharding q_bias)

@@ -55,3 +55,26 @@ def test_training_reduces_loss():
         losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0] * 0.7, losses[::6]
     assert np.isfinite(losses).all()
+
+
+def test_mixed_precision_training_descends_with_f32_master():
+    params = init_var_params(jax.random.PRNGKey(0), TINY)
+    opt = make_optimizer(peak_lr=3e-3)
+    state = make_train_state(params, opt)
+    rng = np.random.default_rng(0)
+    batch = {
+        "label": jnp.array([0, 1]),
+        "x": jnp.asarray(rng.normal(size=(2, TINY.L - 1, 8)), jnp.float32),
+        "targets": jnp.asarray(rng.integers(0, 32, (2, TINY.L)), jnp.int32),
+    }
+    step = jax.jit(
+        lambda s, b: train_step(s, TINY, opt, b, mixed_precision=True))
+    losses = []
+    for _ in range(25):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+        # loss reduced in f32, master params stay f32
+        assert metrics["loss"].dtype == jnp.float32
+    assert state.params["class_emb"].dtype == jnp.float32
+    assert losses[-1] < losses[0] * 0.7, losses[::6]
+    assert np.isfinite(losses).all()
