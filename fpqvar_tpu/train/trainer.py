@@ -132,12 +132,14 @@ def loss_fn(
 def train_step(
     state: TrainState, cfg: VARConfig, optimizer, batch: Dict[str, Any],
     qrt=None, key=None, mixed_precision: bool = False,
+    label_smoothing: float = 0.0,
 ):
     """One optimization step.  ``batch`` = {"label": [B], "x": [B, L-1st, Cvae],
     "targets": [B, L]}.  jit/shard outside (see fpqvar_tpu.parallel)."""
     loss, grads = jax.value_and_grad(loss_fn)(
         state.params, cfg, qrt, batch["label"], batch["x"], batch["targets"],
-        cond_drop_key=key, mixed_precision=mixed_precision)
+        cond_drop_key=key, mixed_precision=mixed_precision,
+        label_smoothing=label_smoothing)
     updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     return TrainState(params, opt_state, state.step + 1), {"loss": loss}

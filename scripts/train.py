@@ -127,7 +127,8 @@ def main():
 
     step_fn = jax.jit(
         lambda s, bt, k: train_step(
-            s, cfg, optimizer, bt, key=k, mixed_precision=args.bf16),
+            s, cfg, optimizer, bt, key=k, mixed_precision=args.bf16,
+            label_smoothing=args.label_smooth),
         in_shardings=(state_sh, batch_sh, repl),
         # pin outputs to the same specs so state round-trips across steps
         # (XLA would otherwise pick its own, e.g. tp-sharding q_bias)

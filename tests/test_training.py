@@ -38,6 +38,21 @@ def test_cross_entropy_matches_manual():
     assert abs(loss - manual) < 1e-6
 
 
+def test_label_smoothing_threads_through_train_step():
+    params = init_var_params(jax.random.PRNGKey(0), TINY)
+    opt = make_optimizer(peak_lr=3e-3)
+    state = make_train_state(params, opt)
+    rng = np.random.default_rng(0)
+    batch = {
+        "label": jnp.array([0, 1]),
+        "x": jnp.asarray(rng.normal(size=(2, TINY.L - 1, 8)), jnp.float32),
+        "targets": jnp.asarray(rng.integers(0, 32, (2, TINY.L)), jnp.int32),
+    }
+    _, m0 = train_step(state, TINY, opt, batch)
+    _, m1 = train_step(state, TINY, opt, batch, label_smoothing=0.1)
+    assert abs(float(m0["loss"]) - float(m1["loss"])) > 1e-6
+
+
 def test_training_reduces_loss():
     params = init_var_params(jax.random.PRNGKey(0), TINY)
     opt = make_optimizer(peak_lr=3e-3)
