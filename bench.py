@@ -12,9 +12,13 @@ bracket):
 - batch 8 throughput across every execution mode — compute-bound, where
   the roofline (ROUND_NOTES_r02.md) shows quantization can at best match
   bf16 (weight HBM is 4% of the step);
-- batch 1 latency (bf16 vs the weights-only w4a16 mode) — weight-memory-
-  bound, where int8 weight codes halve the traffic that sets the step
-  time.  This deployment ratio is the headline value/vs_baseline.
+- batch 1 serving throughput (bf16 vs the weights-only w4a16 mode) —
+  weight-memory-bound, where int8 weight codes halve the traffic that
+  sets the step time.  Measured PIPELINED (queue depth 10, one sync per
+  window): per-call sync charges every call a ~40 ms host<->relay RTT
+  that a real serving deployment (and a real TPU host) does not pay.
+  This deployment ratio is the headline value/vs_baseline; per-call-sync
+  latency is reported alongside in the metric string.
 
 Smaller presets: `python bench.py --preset tiny|d16` for smoke runs;
 `--preset d36` for the 512x512 model; `--modes`/`--batch` for manual
@@ -91,6 +95,35 @@ def time_generate(gen, params, vae_params, label, key, rounds=3):
 
 
 
+def time_generate_pipelined(gen, params, vae_params, label, key,
+                            depth=10, windows=4):
+    """Steady-state throughput: issue ``depth`` generation calls back-to-back
+    and sync once per window.  Per-call sync charges every call a ~30-40 ms
+    host<->relay round-trip (measured: the same cached bf16 d30 batch-1
+    program runs 129 ms/call synced vs 99 ms/call at queue depth 20 —
+    scripts/latency_breakdown.py found a flat ~40 ms per synchronized
+    dispatch regardless of program size).  Pipelining overlaps the RTT with
+    device execution, which is how a serving deployment actually drives the
+    chip; the median over ``windows`` windows rejects relay stalls."""
+    imgs = gen.generate(params, vae_params, label, key)  # warmup + compile
+    imgs.block_until_ready()
+    rates = []
+    for w in range(windows):
+        t0 = time.perf_counter()
+        outs = [
+            gen.generate(params, vae_params, label,
+                         jax.random.fold_in(key, 1000 + w * depth + i))
+            for i in range(depth)
+        ]
+        for o in outs:
+            o.block_until_ready()
+        np.asarray(outs[-1][0, 0, 0, 0])  # force through the relay
+        dt = time.perf_counter() - t0
+        rates.append(label.shape[0] * depth / dt)
+    assert not bool(jnp.isnan(outs[-1]).any()), "NaN in generated images"
+    return float(np.median(rates))
+
+
 def peak_hbm_gb():
     try:
         stats = jax.devices()[0].memory_stats() or {}
@@ -129,6 +162,9 @@ def main():
     ap.add_argument("--rounds", type=int, default=12)
     ap.add_argument("--batch", type=int, default=None,
                     help="override preset batch size")
+    ap.add_argument("--b1-only", action="store_true",
+                    help="skip the batch-8 suite; run only the batch-1 "
+                         "pipelined deployment measurement")
     ap.add_argument("--modes", type=str, default=None,
                     help="comma list from bf16,fake,int8,int8ch,int8chs,"
                          "packed,w4a16,w4a16p,int8kv,int8att (w4a16 = "
@@ -246,9 +282,12 @@ def main():
     if "bf16" in modes and len(modes) > 1:
         modes = modes + ["bf16/2"]
 
-    def run_suite(suite_modes, suite_batch, rounds, tag):
+    def run_suite(suite_modes, suite_batch, rounds, tag, pipelined=False):
+        """``pipelined=True`` reports steady-state pipelined throughput
+        (the serving number; hides the per-dispatch relay RTT) and prints
+        the per-call-sync latency alongside."""
         lab = jnp.arange(suite_batch, dtype=jnp.int32) % cfg.num_classes
-        results = {}
+        results, latency = {}, {}
         for mode in suite_modes:
             qcfg_m = mode_cfgs[mode.split("/")[0]]
             if mode.split("/")[0] == "bf16":
@@ -263,14 +302,23 @@ def main():
                 params = jax.device_put(
                     jax.tree_util.tree_map(np.asarray, qp), dev)
             gen = VARGenerator(cfg, qcfg_m, gen_cfg)
-            results[mode] = time_generate(gen, params, vae_p, lab, key,
-                                          rounds)
+            extra = ""
+            if pipelined:
+                results[mode] = time_generate_pipelined(
+                    gen, params, vae_p, lab, key)
+                latency[mode] = time_generate(gen, params, vae_p, lab, key,
+                                              rounds)
+                extra = (f" pipelined; per-call-sync {latency[mode]:.3f}"
+                         f" images/sec")
+            else:
+                results[mode] = time_generate(gen, params, vae_p, lab, key,
+                                              rounds)
             wgb, cgb = static_hbm_gb(params, cfg, qcfg_m, suite_batch)
-            print(f"# {tag}{mode}: {results[mode]:.3f} images/sec "
+            print(f"# {tag}{mode}: {results[mode]:.3f} images/sec{extra} "
                   f"(peak HBM {peak_hbm_gb()} GB; static: weights {wgb} GB, "
                   f"KV cache {cgb} GB)", file=sys.stderr, flush=True)
             free(params)
-        return results
+        return (results, latency) if pipelined else results
 
     def bf16_stats(results):
         samples = [v for k, v in results.items()
@@ -280,8 +328,11 @@ def main():
                  if len(samples) > 1 else None)
         return mean, drift
 
-    results = run_suite(modes, batch, args.rounds, "")
-    ips_bf16, drift = bf16_stats(results)
+    if args.b1_only:
+        results, ips_bf16, drift = {}, None, None
+    else:
+        results = run_suite(modes, batch, args.rounds, "")
+        ips_bf16, drift = bf16_stats(results)
     quant = {k: v for k, v in results.items()
              if k.split("/")[0] != "bf16"}
     if quant:
@@ -302,21 +353,28 @@ def main():
     # suite stays in the metric string.
     b1 = None
     if args.modes is None and args.batch is None and args.preset == "d30":
-        b1 = run_suite(["bf16", "w4a16", "bf16/2"],
-                       1, max(args.rounds, 40), "b1:")
+        b1, b1_lat = run_suite(["bf16", "w4a16", "bf16/2"],
+                               1, max(args.rounds, 40), "b1:",
+                               pipelined=True)
         b1_bf16, b1_drift = bf16_stats(b1)
-        detail += ("; batch-1 latency: "
+        detail += ("; batch-1 pipelined: "
                    + ", ".join(f"{k}={v:.3f}" for k, v in b1.items())
-                   + f", b1_bf16_drift={b1_drift}")
+                   + f", b1_bf16_drift={b1_drift}"
+                   + "; batch-1 per-call-sync: "
+                   + ", ".join(f"{k}={v:.3f}" for k, v in b1_lat.items()))
 
     if b1 is not None:
         headline_name = "w4a16 @ batch 1"
         value = b1["w4a16"]
         vs = value / b1_bf16
-        regime = (f"headline = batch-1 serving latency (weight-memory-"
-                  f"bound regime, where low-bit weights win); batch-{batch}"
-                  f" throughput best mode {best_name}="
-                  f"{ips_fp4 / ips_bf16:.3f}x bf16 (compute-bound)")
+        regime = (f"headline = batch-1 pipelined serving throughput "
+                  f"(weight-memory-bound regime, where low-bit weights "
+                  f"win; queue depth 10 overlaps the ~40ms per-dispatch "
+                  f"relay RTT that per-call sync would charge); batch-"
+                  f"{batch}"
+                  + (f" throughput best mode {best_name}="
+                     f"{ips_fp4 / ips_bf16:.3f}x bf16 (compute-bound)"
+                     if ips_bf16 else " suite skipped (--b1-only)"))
     else:
         headline_name = best_name
         value = ips_fp4

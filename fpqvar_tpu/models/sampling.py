@@ -21,8 +21,29 @@ def top_k_top_p_filter(logits: Array, top_k: int = 0, top_p: float = 0.0) -> Arr
     first, then top-p over the already-filtered logits; ties at the k-th value
     are kept (reference removes strictly-below-threshold entries).
     """
+    v = logits.shape[-1]
+    if top_k > 0 and top_p > 0.0:
+        # One sort serves both filters (sorts dominate the sampling stage:
+        # lax.top_k on TPU is itself sort-based, so the two-filter chain
+        # would sort the vocab axis twice per scale step).  Masking the
+        # sorted copy below the k-th largest value is elementwise identical
+        # to sorting the top-k-masked logits — ties at the k-th value
+        # included — so the final filter is bit-equal to the sequential
+        # reference chain.
+        sorted_logits = jnp.sort(logits, axis=-1)  # ascending
+        kth = sorted_logits[..., v - min(top_k, v), None]
+        sorted_logits = jnp.where(sorted_logits < kth, NEG_INF, sorted_logits)
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        keep = cum > (1.0 - top_p)
+        keep = keep.at[..., -1].set(True)  # never drop the argmax
+        min_kept = jnp.min(
+            jnp.where(keep, sorted_logits, jnp.inf), axis=-1, keepdims=True
+        )
+        return jnp.where(
+            (logits < kth) | (logits < min_kept), NEG_INF, logits)
     if top_k > 0:
-        kth = jax.lax.top_k(logits, min(top_k, logits.shape[-1]))[0][..., -1:]
+        kth = jax.lax.top_k(logits, min(top_k, v))[0][..., -1:]
         logits = jnp.where(logits < kth, NEG_INF, logits)
     if top_p > 0.0:
         sorted_logits = jnp.sort(logits, axis=-1)  # ascending

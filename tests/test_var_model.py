@@ -529,3 +529,21 @@ def test_fused_dual_fc2_generation_matches_unfused(tiny_model):
         TINY, base.replace(fuse_act=False)).generate(qp, vae_p, lab, key)
     np.testing.assert_allclose(np.asarray(img_f), np.asarray(img_u),
                                atol=2e-2)
+
+
+def test_single_sort_topk_topp_filter_matches_sequential():
+    """The fused one-sort top-k+top-p branch must be bit-equal to the
+    sequential two-filter chain (reference helpers.py:8-15 order), ties at
+    the k-th value included."""
+    from fpqvar_tpu.models.sampling import NEG_INF, top_k_top_p_filter
+
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(4, 7, 64)).astype(np.float32))
+    # plant ties at what will be the kth values
+    logits = logits.at[0, 0, :8].set(logits[0, 0, 10])
+    for k, p in [(9, 0.9), (1, 0.5), (64, 0.99), (3, 0.96)]:
+        fused = top_k_top_p_filter(logits, k, p)
+        seq = top_k_top_p_filter(logits, k, 0.0)      # top-k alone
+        seq = top_k_top_p_filter(seq, 0, p)           # then top-p alone
+        np.testing.assert_array_equal(np.asarray(fused), np.asarray(seq))
+        assert bool((fused == NEG_INF).any()) or k == 64
