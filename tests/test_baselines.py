@@ -69,3 +69,52 @@ def test_rotation_aware_sweep_structure_and_outlier_win():
     res6 = B.rotation_aware_sweep(x, w, n_bits=6, block_rotate=False)
     assert "fp6_e2m3" in res6 and "fp6_e3m2" in res6
     assert res6["fp6_e2m3"]["rotated"] < res6["fp6_e2m3"]["plain"]
+
+
+def test_motivation_plots_cli(tmp_path):
+    """scripts/motivation_plots.py (the reference's `search/baseline/
+    plot_*.py` studies as one CLI): the fc2 activation study must produce
+    the full curve set with the dual-grid formats beating single-grid on
+    GELU-shaped data, and the dist mode must emit its figure + MSE line."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    script = os.path.join(os.path.dirname(__file__), "..", "scripts",
+                          "motivation_plots.py")
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+
+    # fabricate a tiny calibration store: GELU(normal) inputs for fc2
+    from fpqvar_tpu.quantize.calibration import CalibrationStore
+    rng = np.random.default_rng(0)
+    store = CalibrationStore(str(tmp_path / "calib"))
+    depth, c = 1, 256
+    for step in range(2):
+        g = rng.normal(size=(depth, 4, 3, c)).astype(np.float32)
+        gelu = g * 0.5 * (1.0 + np.tanh(0.7978845608 * (g + 0.044715 * g**3)))
+        store.append_run([{ "fc2": gelu }])
+
+    out = tmp_path / "mse.json"
+    r = subprocess.run(
+        [sys.executable, script, "--plot", "mse", "--depth", "1",
+         "--kind", "fc2", "--calib", str(tmp_path / "calib"),
+         "--out", str(out)],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    data = json.loads(out.read_text())
+    assert set(data["curves"]) == {"E1M2 / INT4", "E2M1", "E3M0", "AFPQ",
+                                   "DFQ", "NegReverse"}
+    assert os.path.exists(str(out)[:-5] + ".png")
+    # the paper's fc2 motivation: dual-grid beats every single grid
+    assert data["means"]["DFQ"] < data["means"]["E2M1"]
+    assert data["means"]["DFQ"] < data["means"]["E1M2 / INT4"]
+
+    r = subprocess.run(
+        [sys.executable, script, "--plot", "dist", "--depth", "1",
+         "--kind", "mat_qkv", "--block", "0",
+         "--out", str(tmp_path / "dist.png")],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (tmp_path / "dist.png").exists()
+    assert "mse_int4_per_tensor" in r.stdout
