@@ -28,12 +28,14 @@ def _load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO):
-            try:
-                subprocess.run(
-                    ["make", "-s"], cwd=_NATIVE_DIR, check=True,
-                    capture_output=True, timeout=120)
-            except Exception:
+        try:
+            # always invoke make: a no-op when the .so is current, a rebuild
+            # when fpq_native.cpp changed since the .so was built
+            subprocess.run(
+                ["make", "-s"], cwd=_NATIVE_DIR, check=True,
+                capture_output=True, timeout=120)
+        except Exception:
+            if not os.path.exists(_SO):
                 return None
         try:
             lib = ctypes.CDLL(_SO)
@@ -47,8 +49,11 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.fpq_encode.argtypes = [f32p, i64, f32p, i32, i32p]
         lib.fpq_pack_rows.argtypes = [i32p, i64, i64, i8p]
         lib.fpq_images_to_u8.argtypes = [f32p, i64, i64, i64, u8p]
+        lib.fpq_write_png_batch.argtypes = [
+            u8p, i64, i64, i64, ctypes.POINTER(ctypes.c_char_p)]
+        lib.fpq_write_png_batch.restype = i32
         lib.fpq_abi_version.restype = ctypes.c_int
-        if lib.fpq_abi_version() != 1:
+        if lib.fpq_abi_version() != 2:
             return None
         _lib = lib
         return _lib
@@ -106,6 +111,24 @@ def pack_rows(codes: np.ndarray) -> np.ndarray:
     lib.fpq_pack_rows(_fp(c, ctypes.c_int32), rows, cols,
                       _fp(out, ctypes.c_int8))
     return out
+
+
+def write_png_batch(imgs: np.ndarray, paths) -> bool:
+    """Write [B, H, W, 3] uint8 images as PNGs, one thread per image
+    (zlib-level-1, None/Sub row filters).  Returns False if the native
+    library is unavailable (caller falls back to PIL) and raises on an
+    actual write failure."""
+    lib = _load()
+    if lib is None:
+        return False
+    x = np.ascontiguousarray(imgs, np.uint8)
+    b, h, w, c = x.shape
+    assert c == 3 and len(paths) == b
+    arr = (ctypes.c_char_p * b)(*[p.encode() for p in paths])
+    fails = lib.fpq_write_png_batch(_fp(x, ctypes.c_uint8), b, h, w, arr)
+    if fails:
+        raise OSError(f"fpq_write_png_batch: {fails}/{b} images failed")
+    return True
 
 
 def images_to_uint8(imgs: np.ndarray) -> np.ndarray:

@@ -53,3 +53,36 @@ def test_images_to_uint8():
     ref = np.clip(np.transpose(imgs, (0, 2, 3, 1)) * 255.0, 0,
                   255).astype(np.uint8)
     np.testing.assert_array_equal(ours, ref)
+
+
+def test_write_png_batch_roundtrip(tmp_path):
+    """Native PNG writer (zlib IDAT, None/Sub filters): decoded pixels must
+    be exactly the input, for both smooth (Sub-filtered) and noisy
+    (None-filtered) content."""
+    from PIL import Image
+
+    rng = np.random.default_rng(4)
+    h, w = 40, 72
+    grad = (np.outer(np.linspace(0, 1, h), np.linspace(0, 1, w))
+            * 255).astype(np.uint8)
+    imgs = np.stack([
+        np.stack([grad, grad[::-1], np.full((h, w), 7, np.uint8)], -1),
+        rng.integers(0, 256, (h, w, 3)).astype(np.uint8),
+    ])
+    paths = [str(tmp_path / f"img{i}.png") for i in range(2)]
+    if not native.write_png_batch(imgs, paths):
+        import pytest
+        pytest.skip("native library unavailable")
+    for i, p in enumerate(paths):
+        back = np.asarray(Image.open(p))
+        np.testing.assert_array_equal(back, imgs[i])
+
+
+def test_write_png_batch_failure_raises(tmp_path):
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    imgs = np.zeros((1, 8, 8, 3), np.uint8)
+    import pytest
+    with pytest.raises(OSError):
+        native.write_png_batch(imgs, [str(tmp_path / "no/such/dir/x.png")])
