@@ -160,6 +160,75 @@ def _plot_curves(curves, png, ylabel):
     plt.close(fig)
 
 
+def clip_study(args):
+    """Clipping-strength sweep on fc2 activations (the reference's
+    `search/fc2_quant.py` clipping experiments / `search_fp_format_
+    baseline_2.py:489+`): reconstruction MSE vs the ORIGINAL tensor as the
+    pre-quant clamp at ``strength * absmax`` tightens, per format."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fpqvar_tpu.ops import quantizers as Q
+    from fpqvar_tpu.quantize.calibration import CalibrationStore
+
+    cfg, var_p = _load_model(args)
+    c_in = var_p["blocks"][f"{args.kind}_w"].shape[-1]
+    store = CalibrationStore(args.calib)
+    rng = np.random.default_rng(0)
+    blocks = list(range(cfg.depth))[:: max(1, cfg.depth // 6)]
+    strengths = [round(s, 2) for s in np.arange(0.5, 1.01, 0.05)]
+    gran = dict(granularity="per_group", group_size=128)
+
+    def quantizers(xc):
+        return {
+            "DFQ": Q.fake_quant_dual(xc, "fp_e1m2_neg_e2m1_pos", **gran),
+            "AFPQ": Q.fake_quant_dual(xc, "fp4_afpq", **gran),
+            "E2M1": Q.fake_quant_fp(xc, "fp_e2", **gran),
+        }
+
+    curves = {name: [0.0] * len(strengths) for name in ("DFQ", "AFPQ",
+                                                        "E2M1")}
+    for blk in blocks:
+        steps = store.steps(args.kind, blk)
+        x = np.concatenate([store.load(args.kind, blk, s).reshape(-1, c_in)
+                            for s in range(steps)], axis=0)
+        if x.shape[0] > args.max_samples:
+            x = x[rng.choice(x.shape[0], args.max_samples, replace=False)]
+        xj = jnp.asarray(x, jnp.float32)
+        amax = jnp.max(jnp.abs(xj))
+        for i, s in enumerate(strengths):
+            xc = jnp.clip(xj, -s * amax, s * amax)
+            for name, q in quantizers(xc).items():
+                curves[name][i] += float(jnp.mean((xj - q) ** 2)) / len(
+                    blocks)
+    best = {n: strengths[int(np.argmin(v))] for n, v in curves.items()}
+    print("argmin strength per format:", json.dumps(best))
+    out_json = args.out or f"clip_mse.{args.kind}.json"
+    with open(out_json, "w") as f:
+        json.dump({"kind": args.kind, "strengths": strengths,
+                   "curves": curves, "best": best,
+                   "blocks_sampled": list(blocks)}, f, indent=2)
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(8, 4.5), dpi=150)
+    for i, (name, ys) in enumerate(curves.items()):
+        ax.plot(strengths, ys, label=name, color=SERIES[i], linewidth=2,
+                marker=MARKERS[i], markersize=5)
+    ax.set_xlabel("Clipping Strength", fontsize=12)
+    ax.set_ylabel("Quantization Error", fontsize=12)
+    ax.ticklabel_format(axis="y", style="sci", scilimits=(0, 0))
+    ax.grid(True, alpha=0.25, linewidth=0.5)
+    ax.spines[["top", "right"]].set_visible(False)
+    ax.legend(fontsize=10, frameon=False)
+    fig.tight_layout()
+    fig.savefig(os.path.splitext(out_json)[0] + ".png",
+                bbox_inches="tight")
+    plt.close(fig)
+    print(f"wrote {out_json} and companion .png")
+
+
 def dist_study(args):
     import matplotlib
     matplotlib.use("Agg")
@@ -210,7 +279,8 @@ def dist_study(args):
 
 def main():
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    p.add_argument("--plot", choices=["mse", "dist"], required=True)
+    p.add_argument("--plot", choices=["mse", "dist", "clip"],
+                   required=True)
     p.add_argument("--depth", type=int, default=30)
     p.add_argument("--resolution", type=int, default=256,
                    choices=[256, 512])
@@ -229,9 +299,11 @@ def main():
     p.add_argument("--max-samples", type=int, default=1024)
     p.add_argument("--out", type=str, default=None)
     args = p.parse_args()
-    if args.plot == "mse" and args.tensor == "act" and not args.calib:
-        p.error("--tensor act requires --calib")
-    (mse_study if args.plot == "mse" else dist_study)(args)
+    if ((args.plot == "clip" or
+         (args.plot == "mse" and args.tensor == "act")) and not args.calib):
+        p.error("this mode requires --calib")
+    {"mse": mse_study, "dist": dist_study, "clip": clip_study}[args.plot](
+        args)
 
 
 if __name__ == "__main__":

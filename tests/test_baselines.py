@@ -118,3 +118,14 @@ def test_motivation_plots_cli(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert (tmp_path / "dist.png").exists()
     assert "mse_int4_per_tensor" in r.stdout
+
+    out_clip = tmp_path / "clip.json"
+    r = subprocess.run(
+        [sys.executable, script, "--plot", "clip", "--depth", "1",
+         "--kind", "fc2", "--calib", str(tmp_path / "calib"),
+         "--out", str(out_clip)],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    clip = json.loads(out_clip.read_text())
+    assert set(clip["curves"]) == {"DFQ", "AFPQ", "E2M1"}
+    assert all(0.5 <= clip["best"][k] <= 1.0 for k in clip["best"])
