@@ -54,3 +54,23 @@ def test_requests_are_batched(server):
     # 4 requests arriving together should coalesce into few batches
     assert after["batches"] - before <= 2
     assert after["served"] >= 5
+
+
+def test_pipelined_under_load_reproducible(server):
+    """Under a sustained burst the worker dispatches batch N+1 before
+    fetching batch N (depth-2 pipeline); results must still match the same
+    request served alone, and the pipelined counter must advance."""
+    import numpy as np
+
+    alone = server.submit(5, seed=42).result(timeout=60)
+    before = server.stats()
+    futs = [server.submit(i % 8, seed=200 + i) for i in range(12)]
+    futs.append(server.submit(5, seed=42))
+    imgs = [f.result(timeout=120) for f in futs]
+    assert all(im.shape == (3, 4, 4) for im in imgs)
+    np.testing.assert_array_equal(np.asarray(imgs[-1]), np.asarray(alone))
+    after = server.stats()
+    assert after["served"] - before["served"] == 13
+    # 13 requests / max_batch 4 -> >=4 batches; at least one pair must have
+    # overlapped (the burst is fully enqueued before the first fetch)
+    assert after["pipelined"] >= 1
