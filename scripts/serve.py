@@ -19,9 +19,20 @@ def main():
     p.add_argument("--vae-ckpt", type=str, default=None)
     p.add_argument("--var-ckpt", type=str, default=None)
     p.add_argument("--packed-ckpt", type=str, default=None)
-    p.add_argument("--quant", action="store_true")
-    p.add_argument("--backend", type=str, default="fake",
-                   choices=["fake", "packed"])
+    p.add_argument("--recipe", type=str, default="bf16",
+                   choices=["bf16", "w4a4", "w4a16", "w6a6"],
+                   help="bf16 = unquantized; w4a16 = weights-only int8-code "
+                        "deployment mode (the batch-1 serving winner); "
+                        "w4a4/w6a6 = the paper's full recipes (GALT folded "
+                        "offline or disabled via --no-transform)")
+    p.add_argument("--backend", type=str, default=None,
+                   choices=["fake", "packed", "int8"],
+                   help="override the recipe's execution backend")
+    p.add_argument("--no-transform", action="store_true",
+                   help="drop GALT from w4a4/w6a6 (no best_s artifacts)")
+    p.add_argument("--best-s-dir", type=str, default=None,
+                   help="GALT best_s artifact dir (required by w4a4/w6a6 "
+                        "unless --no-transform)")
     p.add_argument("--max-batch", type=int, default=16)
     p.add_argument("--max-wait-ms", type=float, default=50.0)
     p.add_argument("--out", type=str, required=True)
@@ -34,7 +45,8 @@ def main():
 
     from fpqvar_tpu.config import (
         GenerateConfig, QuantConfig, VARConfig, VQVAEConfig,
-        PATCH_NUMS_256, PATCH_NUMS_512, fpqvar_w4a4)
+        PATCH_NUMS_256, PATCH_NUMS_512, fpqvar_w4a4, fpqvar_w4a16,
+        fpqvar_w6a6)
     from fpqvar_tpu.models import VARGenerator, build_vae_var
     from fpqvar_tpu.serving import GenerationServer
     from fpqvar_tpu.utils import checkpoint as C
@@ -53,8 +65,36 @@ def main():
         print("[warn] random init (smoke-test mode)", file=sys.stderr)
         vae_p, var_p = build_vae_var(jax.random.PRNGKey(0), cfg)
 
-    qcfg = (fpqvar_w4a4().replace(transform=False, backend=args.backend)
-            if args.quant else QuantConfig())
+    qcfg = {"bf16": QuantConfig(), "w4a4": fpqvar_w4a4(),
+            "w4a16": fpqvar_w4a16(), "w6a6": fpqvar_w6a6()}[args.recipe]
+    if args.no_transform and qcfg.enabled:
+        qcfg = qcfg.replace(transform=False)
+    if args.backend is not None and qcfg.enabled:
+        qcfg = qcfg.replace(backend=args.backend)
+    if qcfg.enabled and not args.packed_ckpt:
+        # offline weight pipeline (fold GALT -> rotate -> quantize/encode);
+        # a --packed-ckpt already carries transformed weights
+        from fpqvar_tpu.quantize import galt as G
+        from fpqvar_tpu.quantize import quantize_var_params
+
+        galt = None
+        if qcfg.transform:
+            if args.best_s_dir is None:
+                raise SystemExit(f"--recipe {args.recipe} applies GALT: "
+                                 "pass --best-s-dir or --no-transform")
+            galt = []
+            for kind in ("mat_qkv", "fc1"):
+                for ext, loader in ((".npz", G.load_best_s),
+                                    (".pt", G.load_reference_best_s)):
+                    path = os.path.join(
+                        args.best_s_dir, f"{kind}_best_s_fp{qcfg.w_bit}{ext}")
+                    if os.path.exists(path):
+                        galt.append(loader(path))
+                        break
+                else:
+                    raise SystemExit(f"no {kind} best_s artifact in "
+                                     f"{args.best_s_dir}")
+        var_p = quantize_var_params(var_p, cfg, qcfg, galt=galt)
     gen = VARGenerator(cfg, qcfg, GenerateConfig())
     server = GenerationServer(gen, var_p, vae_p, max_batch=args.max_batch,
                               max_wait_ms=args.max_wait_ms)
@@ -76,8 +116,9 @@ def main():
     for i, (ci, seed, fut) in enumerate(futs):
         img = fut.result()
         save_images_png(np.asarray(img)[None], args.out, ci, start_idx=seed)
-    print(f"served {len(futs)} requests in {server.stats()['batches']} "
-          f"batches -> {args.out}")
+    st = server.stats()
+    print(f"served {len(futs)} requests in {st['batches']} batches "
+          f"({st['pipelined']} pipelined) -> {args.out}")
     server.stop()
 
 
