@@ -36,12 +36,10 @@ import numpy as np
 
 # persistent compilation cache: remote compiles through the axon tunnel cost
 # 30-60s each; caching makes repeat bench runs (and the driver's) near-free.
-_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                      ".jax_cache")
-os.makedirs(_CACHE, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", _CACHE)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from fpqvar_tpu.utils.jit_cache import enable as _enable_cache  # noqa: E402
+
+_enable_cache()
 
 
 def build(preset: str):

@@ -24,6 +24,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from fpqvar_tpu.utils.jit_cache import enable as _jc
+    _jc()  # persistent XLA compile cache (.jax_cache)
+
     from fpqvar_tpu.config import (
         VARConfig, VQVAEConfig, PATCH_NUMS_256, PATCH_NUMS_512)
     from fpqvar_tpu.models import build_vae_var

@@ -154,6 +154,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from fpqvar_tpu.utils.jit_cache import enable as _jc
+    _jc()  # persistent XLA compile cache (.jax_cache)
+
     from fpqvar_tpu.models import VARGenerator, build_vae_var
     from fpqvar_tpu.quantize import quantize_var_params
     from fpqvar_tpu.utils import checkpoint as C

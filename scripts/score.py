@@ -85,6 +85,9 @@ def main():
     if args.inception == "random":
         import jax
 
+        from fpqvar_tpu.utils.jit_cache import enable as _jc
+        _jc()  # persistent XLA compile cache (.jax_cache)
+
         from fpqvar_tpu.eval.inception import init_inception_params
 
         print("[warn] random Inception weights - smoke mode, metric values "

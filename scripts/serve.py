@@ -41,6 +41,9 @@ def main():
     args = p.parse_args()
 
     import jax
+
+    from fpqvar_tpu.utils.jit_cache import enable as _jc
+    _jc()  # persistent XLA compile cache (.jax_cache)
     import numpy as np
 
     from fpqvar_tpu.config import (

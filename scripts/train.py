@@ -54,6 +54,9 @@ def main():
     args = p.parse_args()
 
     import jax
+
+    from fpqvar_tpu.utils.jit_cache import enable as _jc
+    _jc()  # persistent XLA compile cache (.jax_cache)
     if args.coordinator:
         jax.distributed.initialize(
             coordinator_address=args.coordinator,
