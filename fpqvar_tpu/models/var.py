@@ -441,6 +441,7 @@ def run_blocks(
     cur: int = 0,
     attn_bias: Optional[Array] = None,
     capture: bool = False,
+    remat: bool = False,
 ) -> Tuple[Array, Optional[Tuple[Array, Array]], Optional[Dict[str, Array]]]:
     blocks = params["blocks"]
     per_block_aq = qrt is not None and qrt.per_block_act_q is not None
@@ -481,6 +482,14 @@ def run_blocks(
                                     attn_bias, capture)
         return xc, (None, taps)
 
+    if remat:
+        # per-block rematerialization: backward recomputes each block's
+        # activations from its input instead of storing them — activation
+        # memory drops from O(depth * B * L * C) to one block's worth, for
+        # one extra forward of FLOPs.  Training-path only (generation never
+        # differentiates).  prevent_cse=False is the documented setting for
+        # checkpoint-inside-scan.
+        body = jax.checkpoint(body, prevent_cse=False)
     if cache is not None:
         x, (new_cache, taps) = jax.lax.scan(
             body, x, (blocks, mod, cache))
@@ -508,10 +517,14 @@ def attn_bias_for_masking(cfg: VARConfig) -> np.ndarray:
 
 def var_forward(
     params, cfg: VARConfig, qrt, label_B: Array, x_BLCv_wo_first_l: Array,
+    remat: bool = False,
 ) -> Array:
     """Teacher-forcing forward returning logits [B, L, V]
     (`models/var.py:220-262`, inference subset: no cond-drop randomness —
-    apply label dropout outside if training)."""
+    apply label dropout outside if training).  ``remat`` rematerializes
+    per-block activations on the backward pass (jax.checkpoint over the
+    block scan) — the HBM-for-FLOPs trade that lets deeper models /
+    bigger batches train per chip."""
     b = x_BLCv_wo_first_l.shape[0]
     cond_BD = jnp.take(params["class_emb"], label_B, axis=0)
     sos = cond_BD[:, None, :] + params["pos_start"]
@@ -524,7 +537,8 @@ def var_forward(
 
     mod = compute_modulations(params, cfg, cond_BD, qrt)
     bias = jnp.asarray(attn_bias_for_masking(cfg))
-    x, _, _ = run_blocks(params, cfg, qrt, x, mod, attn_bias=bias)
+    x, _, _ = run_blocks(params, cfg, qrt, x, mod, attn_bias=bias,
+                         remat=remat)
     return head_logits(params, cfg, x.astype(jnp.float32), cond_BD)
 
 

@@ -106,14 +106,16 @@ def make_train_state(params, optimizer: optax.GradientTransformation):
 def loss_fn(
     params, cfg: VARConfig, qrt, label_B, x_teacher, targets,
     cond_drop_key=None, label_smoothing: float = 0.0,
-    mixed_precision: bool = False,
+    mixed_precision: bool = False, remat: bool = False,
 ):
     """Teacher-forcing CE loss with classifier-free-guidance label dropout
     (`models/var.py:229`: labels replaced by num_classes w.p.
     cond_drop_rate).  ``mixed_precision`` runs the forward in bf16 (MXU
     rate) off f32 master params — the TPU replacement for the reference's
     torch AMP scaler (`utils/amp_sc.py:15`; bf16 needs no loss scaling);
-    the loss itself is reduced in f32."""
+    the loss itself is reduced in f32.  ``remat`` rematerializes per-block
+    activations on backward (jax.checkpoint over the block scan): one
+    extra forward of FLOPs for ~depth x less activation HBM."""
     if cond_drop_key is not None and cfg.cond_drop_rate > 0:
         drop = jax.random.bernoulli(
             cond_drop_key, cfg.cond_drop_rate, label_B.shape)
@@ -124,7 +126,7 @@ def loss_fn(
             lambda v: v.astype(jnp.bfloat16)
             if v.dtype == jnp.float32 else v, params)
         x_teacher = x_teacher.astype(jnp.bfloat16)
-    logits = V.var_forward(fwd, cfg, qrt, label_B, x_teacher)
+    logits = V.var_forward(fwd, cfg, qrt, label_B, x_teacher, remat=remat)
     return cross_entropy_loss(
         logits.astype(jnp.float32), targets, label_smoothing)
 
@@ -132,14 +134,14 @@ def loss_fn(
 def train_step(
     state: TrainState, cfg: VARConfig, optimizer, batch: Dict[str, Any],
     qrt=None, key=None, mixed_precision: bool = False,
-    label_smoothing: float = 0.0,
+    label_smoothing: float = 0.0, remat: bool = False,
 ):
     """One optimization step.  ``batch`` = {"label": [B], "x": [B, L-1st, Cvae],
     "targets": [B, L]}.  jit/shard outside (see fpqvar_tpu.parallel)."""
     loss, grads = jax.value_and_grad(loss_fn)(
         state.params, cfg, qrt, batch["label"], batch["x"], batch["targets"],
         cond_drop_key=key, mixed_precision=mixed_precision,
-        label_smoothing=label_smoothing)
+        label_smoothing=label_smoothing, remat=remat)
     updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     return TrainState(params, opt_state, state.step + 1), {"loss": loss}

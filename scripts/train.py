@@ -41,6 +41,10 @@ def main():
     p.add_argument("--label-smooth", type=float, default=0.0)
     p.add_argument("--bf16", action="store_true",
                    help="bf16 forward off f32 master params")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize per-block activations on backward "
+                        "(jax.checkpoint over the block scan): ~depth x "
+                        "less activation HBM for one extra forward")
     p.add_argument("--dp", type=int, default=1)
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--coordinator", type=str, default=None)
@@ -131,7 +135,7 @@ def main():
     step_fn = jax.jit(
         lambda s, bt, k: train_step(
             s, cfg, optimizer, bt, key=k, mixed_precision=args.bf16,
-            label_smoothing=args.label_smooth),
+            label_smoothing=args.label_smooth, remat=args.remat),
         in_shardings=(state_sh, batch_sh, repl),
         # pin outputs to the same specs so state round-trips across steps
         # (XLA would otherwise pick its own, e.g. tp-sharding q_bias)

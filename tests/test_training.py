@@ -93,3 +93,26 @@ def test_mixed_precision_training_descends_with_f32_master():
     assert state.params["class_emb"].dtype == jnp.float32
     assert losses[-1] < losses[0] * 0.7, losses[::6]
     assert np.isfinite(losses).all()
+
+
+def test_remat_gradients_match():
+    """jax.checkpoint over the block scan (--remat) must not change the
+    math: loss and gradients equal the non-remat step to fp tolerance."""
+    from fpqvar_tpu.train.trainer import loss_fn
+
+    params = init_var_params(jax.random.PRNGKey(0), TINY)
+    rng = np.random.default_rng(5)
+    args = (TINY, None,
+            jnp.asarray([1, 3], jnp.int32),
+            jnp.asarray(rng.normal(size=(2, TINY.L - 1, 8)), jnp.float32),
+            jnp.asarray(rng.integers(0, 32, (2, TINY.L)), jnp.int32))
+    f_plain = jax.jit(lambda p: loss_fn(p, *args))
+    f_remat = jax.jit(lambda p: loss_fn(p, *args, remat=True))
+    l0, g0 = jax.value_and_grad(f_plain)(params)
+    l1, g1 = jax.value_and_grad(f_remat)(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    flat0 = jax.tree_util.tree_leaves(g0)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
