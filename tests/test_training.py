@@ -116,3 +116,29 @@ def test_remat_gradients_match():
     for a, b in zip(flat0, flat1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_remat_reduces_compiled_temp_memory():
+    """The point of --remat: XLA's compiled temp (activation) footprint for
+    the gradient step must drop substantially when per-block checkpointing
+    is on (measured 8.6x at depth 8 on the CPU backend)."""
+    from fpqvar_tpu.config import VQVAEConfig
+    from fpqvar_tpu.train.trainer import loss_fn
+
+    cfg = VARConfig(
+        depth=6, embed_dim=128, num_heads=2, patch_nums=(1, 2, 3, 4),
+        vae=VQVAEConfig(vocab_size=32, z_channels=8, ch=16, ch_mult=(1, 2),
+                        num_res_blocks=1, patch_nums=(1, 2, 3, 4)))
+    params = init_var_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(4, cfg.L - 1, 8)), jnp.float32)
+    t = jnp.asarray(rng.integers(0, 32, (4, cfg.L)), jnp.int32)
+    lab = jnp.asarray([1, 2, 3, 4], jnp.int32)
+
+    def temp_bytes(remat):
+        f = jax.jit(jax.grad(
+            lambda p: loss_fn(p, cfg, None, lab, x, t, remat=remat)))
+        return f.lower(params).compile().memory_analysis().temp_size_in_bytes
+
+    plain, remat = temp_bytes(False), temp_bytes(True)
+    assert remat < 0.5 * plain, (plain, remat)
