@@ -43,14 +43,12 @@ _enable_cache()
 
 
 def build(preset: str):
-    from fpqvar_tpu.config import VARConfig, VQVAEConfig
+    from fpqvar_tpu.config import VARConfig
 
     if preset == "tiny":
-        cfg = VARConfig(
-            depth=2, embed_dim=128, num_heads=2, patch_nums=(1, 2, 3),
-            vae=VQVAEConfig(vocab_size=64, z_channels=8, ch=16,
-                            ch_mult=(1, 2), num_res_blocks=1,
-                            patch_nums=(1, 2, 3)))
+        from fpqvar_tpu.config import var_tiny
+
+        cfg = var_tiny()
         batch = 2
     elif preset == "d16":
         cfg = VARConfig(depth=16)

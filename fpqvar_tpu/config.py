@@ -105,6 +105,19 @@ def var_d36_512() -> VARConfig:
     )
 
 
+def var_tiny() -> VARConfig:
+    """CI/smoke shape: depth-2, 3 scales, 6x6 images; compiles in seconds
+    on CPU.  Shared by bench.py --preset tiny and every CLI's --tiny flag
+    (the reference has no small configuration at all — its entry scripts
+    hard-code the published model shapes)."""
+    return VARConfig(
+        depth=2, embed_dim=128, num_heads=2, patch_nums=(1, 2, 3),
+        vae=VQVAEConfig(vocab_size=64, z_channels=8, ch=16,
+                        ch_mult=(1, 2), num_res_blocks=1,
+                        patch_nums=(1, 2, 3)),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Quantization recipe
 # ---------------------------------------------------------------------------

@@ -54,6 +54,18 @@ def generate_eval_set(
     os.makedirs(out_dir, exist_ok=True)
     t0 = time.time()
     done = 0
+    # depth-2 pipeline (same trick as serving.GenerationServer): the next
+    # batch is dispatched before the previous batch's device->host fetch +
+    # PNG encode, so the flat per-dispatch host round-trip (~40 ms through
+    # the TPU relay) and the encode overlap device compute.  Resume safety
+    # is unchanged: the complete-PNG-set check tolerates one batch landing
+    # on disk after a later dispatch was issued.
+    pending = None          # (device imgs, class, start_idx, rows to keep)
+
+    def _flush(p):
+        imgs, ci, start, keep = p
+        save_images_png(imgs[:keep], out_dir, ci, start_idx=start)
+
     for ci in classes:
         if all(os.path.exists(os.path.join(out_dir, f"class{ci}_img{i}.png"))
                for i in range(num_img_per_class)):
@@ -64,7 +76,7 @@ def generate_eval_set(
             # always generate at the full compiled batch shape and slice the
             # tail (a fresh tail shape would re-trace the whole multi-scale
             # generator — minutes over the remote-TPU relay); the extra rows
-            # of the final batch are discarded by the [:remaining] slice
+            # of the final batch are discarded by the keep slice
             b = batch
             label = jnp.full((b,), ci, jnp.int32)
             key = jax.random.PRNGKey(seed)
@@ -76,11 +88,15 @@ def generate_eval_set(
                 label = jax.device_put(label, NamedSharding(mesh, P("dp")))
             with ctx:
                 imgs = generator.generate(params, vae_params, label, key)
-            imgs = imgs[: num_img_per_class - produced]
-            save_images_png(imgs, out_dir, ci, start_idx=produced)
-            produced += imgs.shape[0]
+            if pending is not None:
+                _flush(pending)
+            pending = (imgs, ci, produced,
+                       min(b, num_img_per_class - produced))
+            produced += pending[3]
         done += 1
         if done % log_every == 0:
             rate = done / (time.time() - t0)
             print(f"[eval] {done} classes done ({rate:.2f} classes/s)",
                   flush=True)
+    if pending is not None:
+        _flush(pending)

@@ -10,8 +10,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--depth", type=int, default=30)
-    p.add_argument("--resolution", type=int, default=256, choices=[256, 512])
+    from _common import add_model_flags
+
+    add_model_flags(p, default_depth=30)
     p.add_argument("--vae-ckpt", type=str, default=None)
     p.add_argument("--var-ckpt", type=str, default=None)
     p.add_argument("--out", type=str, required=True)
@@ -27,17 +28,14 @@ def main():
     from fpqvar_tpu.utils.jit_cache import enable as _jc
     _jc()  # persistent XLA compile cache (.jax_cache)
 
-    from fpqvar_tpu.config import (
-        VARConfig, VQVAEConfig, PATCH_NUMS_256, PATCH_NUMS_512)
+    from _common import model_config
     from fpqvar_tpu.models import build_vae_var
     from fpqvar_tpu.quantize.calibration import (
         CalibrationStore, capture_condition, capture_generation)
     from fpqvar_tpu.utils import checkpoint as C
     import numpy as np
 
-    pns = PATCH_NUMS_512 if args.resolution == 512 else PATCH_NUMS_256
-    cfg = VARConfig(depth=args.depth, shared_aln=(args.resolution == 512),
-                    patch_nums=pns, vae=VQVAEConfig(patch_nums=pns))
+    cfg = model_config(args)
     if args.vae_ckpt and args.var_ckpt:
         vae_p = C.convert_vqvae_state_dict(
             C.load_torch_state_dict(args.vae_ckpt), cfg.vae)

@@ -15,8 +15,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--depth", type=int, default=30)
-    p.add_argument("--resolution", type=int, default=256, choices=[256, 512])
+    from _common import add_model_flags
+
+    add_model_flags(p, default_depth=30)
     p.add_argument("--var-ckpt", type=str, required=True)
     p.add_argument("--vae-ckpt", type=str, default=None)
     p.add_argument("--out", type=str, required=True)
@@ -33,15 +34,13 @@ def main():
     p.add_argument("--best-s-dir", type=str, default=None)
     args = p.parse_args()
 
-    from fpqvar_tpu.config import (
-        QuantConfig, VARConfig, VQVAEConfig, PATCH_NUMS_256, PATCH_NUMS_512)
+    from _common import model_config
+    from fpqvar_tpu.config import QuantConfig
     from fpqvar_tpu.quantize import quantize_var_params
     from fpqvar_tpu.quantize import galt as G
     from fpqvar_tpu.utils import checkpoint as C
 
-    pns = PATCH_NUMS_512 if args.resolution == 512 else PATCH_NUMS_256
-    cfg = VARConfig(depth=args.depth, shared_aln=(args.resolution == 512),
-                    patch_nums=pns, vae=VQVAEConfig(patch_nums=pns))
+    cfg = model_config(args)
     var_p = C.convert_var_state_dict(
         C.load_torch_state_dict(args.var_ckpt), cfg)
 

@@ -32,11 +32,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def parse_args():
+    from _common import add_model_flags
+
     p = argparse.ArgumentParser()
     # model
-    p.add_argument("--depth", type=int, default=30,
-                   choices=[16, 20, 24, 30, 36])
-    p.add_argument("--resolution", type=int, default=256, choices=[256, 512])
+    add_model_flags(p, default_depth=30)
     p.add_argument("--vae-ckpt", type=str, default=None)
     p.add_argument("--var-ckpt", type=str, default=None)
     p.add_argument("--packed-ckpt", type=str, default=None,
@@ -95,15 +95,10 @@ def parse_args():
 
 
 def build_configs(args):
-    from fpqvar_tpu.config import (
-        GenerateConfig, QuantConfig, VARConfig, VQVAEConfig,
-        PATCH_NUMS_256, PATCH_NUMS_512,
-    )
+    from _common import model_config
+    from fpqvar_tpu.config import GenerateConfig, QuantConfig
 
-    pns = PATCH_NUMS_512 if args.resolution == 512 else PATCH_NUMS_256
-    cfg = VARConfig(
-        depth=args.depth, shared_aln=(args.resolution == 512),
-        patch_nums=pns, vae=VQVAEConfig(patch_nums=pns))
+    cfg = model_config(args)
     qcfg = QuantConfig(
         enabled=args.quant,
         w_bit=args.w_bit, a_bit=args.a_bit,

@@ -13,9 +13,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
+    from _common import add_model_flags
+
     p = argparse.ArgumentParser()
-    p.add_argument("--depth", type=int, default=16)
-    p.add_argument("--resolution", type=int, default=256, choices=[256, 512])
+    add_model_flags(p, default_depth=16)
     p.add_argument("--vae-ckpt", type=str, default=None)
     p.add_argument("--var-ckpt", type=str, default=None)
     p.add_argument("--packed-ckpt", type=str, default=None)
@@ -46,18 +47,15 @@ def main():
     _jc()  # persistent XLA compile cache (.jax_cache)
     import numpy as np
 
+    from _common import model_config
     from fpqvar_tpu.config import (
-        GenerateConfig, QuantConfig, VARConfig, VQVAEConfig,
-        PATCH_NUMS_256, PATCH_NUMS_512, fpqvar_w4a4, fpqvar_w4a16,
-        fpqvar_w6a6)
+        GenerateConfig, QuantConfig, fpqvar_w4a4, fpqvar_w4a16, fpqvar_w6a6)
     from fpqvar_tpu.models import VARGenerator, build_vae_var
     from fpqvar_tpu.serving import GenerationServer
     from fpqvar_tpu.utils import checkpoint as C
     from fpqvar_tpu.eval.imaging import save_images_png
 
-    pns = PATCH_NUMS_512 if args.resolution == 512 else PATCH_NUMS_256
-    cfg = VARConfig(depth=args.depth, shared_aln=(args.resolution == 512),
-                    patch_nums=pns, vae=VQVAEConfig(patch_nums=pns))
+    cfg = model_config(args)
     if args.vae_ckpt and args.var_ckpt:
         vae_p = C.convert_vqvae_state_dict(
             C.load_torch_state_dict(args.vae_ckpt), cfg.vae)

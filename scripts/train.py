@@ -29,8 +29,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--depth", type=int, default=16)
-    p.add_argument("--resolution", type=int, default=256, choices=[256, 512])
+    from _common import add_model_flags
+
+    add_model_flags(p, default_depth=16)
     p.add_argument("--data", type=str, default=None, help="npz dataset path")
     p.add_argument("--synthetic-n", type=int, default=64)
     p.add_argument("--glb-batch", type=int, default=8)
@@ -71,8 +72,8 @@ def main():
     import optax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from fpqvar_tpu.config import (
-        MeshConfig, VARConfig, VQVAEConfig, PATCH_NUMS_256, PATCH_NUMS_512)
+    from _common import model_config
+    from fpqvar_tpu.config import MeshConfig
     from fpqvar_tpu.models.var import init_var_params
     from fpqvar_tpu.parallel import make_mesh, param_shardings
     from fpqvar_tpu.train import (
@@ -81,9 +82,7 @@ def main():
     from fpqvar_tpu.train.trainer import make_optimizer
     from fpqvar_tpu.utils.logging import MetricLogger
 
-    pns = PATCH_NUMS_512 if args.resolution == 512 else PATCH_NUMS_256
-    cfg = VARConfig(depth=args.depth, shared_aln=(args.resolution == 512),
-                    patch_nums=pns, vae=VQVAEConfig(patch_nums=pns))
+    cfg = model_config(args)
 
     # --- data (host-local arrays; indices come from the shared-seed stream)
     if args.data:

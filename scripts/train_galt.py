@@ -10,8 +10,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--depth", type=int, default=30)
-    p.add_argument("--resolution", type=int, default=256, choices=[256, 512])
+    from _common import add_model_flags
+
+    add_model_flags(p, default_depth=30)
     p.add_argument("--var-ckpt", type=str, default=None)
     p.add_argument("--calib", type=str, required=True)
     p.add_argument("--kind", type=str, default="fc1",
@@ -29,16 +30,13 @@ def main():
     _jc()  # persistent XLA compile cache (.jax_cache)
     import numpy as np
 
-    from fpqvar_tpu.config import (
-        VARConfig, VQVAEConfig, PATCH_NUMS_256, PATCH_NUMS_512)
+    from _common import model_config
     from fpqvar_tpu.models.var import init_var_params
     from fpqvar_tpu.quantize.calibration import CalibrationStore
     from fpqvar_tpu.quantize import galt as G
     from fpqvar_tpu.utils import checkpoint as C
 
-    pns = PATCH_NUMS_512 if args.resolution == 512 else PATCH_NUMS_256
-    cfg = VARConfig(depth=args.depth, shared_aln=(args.resolution == 512),
-                    patch_nums=pns, vae=VQVAEConfig(patch_nums=pns))
+    cfg = model_config(args)
     if args.var_ckpt:
         var_p = C.convert_var_state_dict(
             C.load_torch_state_dict(args.var_ckpt), cfg)

@@ -1,0 +1,93 @@
+"""End-to-end CLI smoke tests at the --tiny config.
+
+The reference's user surface is its entry scripts (`run.sh:4-25`); ours is
+the CLIs in scripts/.  Everything below runs the REAL subprocess entry
+points (argparse -> config -> model -> artifacts on disk), mirroring the
+reference pipeline order: calibrate -> format search -> GALT training ->
+quantized evaluation -> npz pack -> metric scoring, plus the serving and
+training CLIs the reference lacks.  All at fpqvar_tpu.config.var_tiny()
+shapes so the whole module is CPU-cheap.
+"""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+SCRIPTS = os.path.join(os.path.dirname(__file__), "..", "scripts")
+
+
+def run_cli(script, *args, timeout=900):
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(SCRIPTS, script), *map(str, args)],
+        capture_output=True, text=True, env=env, timeout=timeout)
+    assert r.returncode == 0, (script, r.stdout[-2000:], r.stderr[-2000:])
+    return r
+
+
+def test_offline_pipeline_to_scored_eval(tmp_path):
+    """calibrate -> search_formats -> train_galt (both kinds) -> evaluate
+    with the full FP4 recipe -> packed npz -> score (random Inception).
+    This is the reference's whole workflow (`run.sh` + openai_evaluator)
+    as one CLI chain."""
+    calib = tmp_path / "calib"
+    run_cli("calibrate.py", "--tiny", "--num-classes", 2, "--batch", 2,
+            "--out", calib)
+    assert (calib / "condition.npz").exists()
+
+    fmts = tmp_path / "formats_fc1.json"
+    run_cli("search_formats.py", "--tiny", "--kind", "fc1", "--calib", calib,
+            "--max-samples", 16, "--out", fmts)
+    data = json.loads(fmts.read_text())
+    assert len(data) == 2  # one entry per tiny block
+
+    best = tmp_path / "best_s"
+    best.mkdir()
+    for kind in ("mat_qkv", "fc1"):
+        run_cli("train_galt.py", "--tiny", "--kind", kind, "--calib", calib,
+                "--epochs", 1, "--max-samples-per-step", 16,
+                "--out", best / f"{kind}_best_s_fp4.npz")
+
+    figs = tmp_path / "figs"
+    run_cli("evaluate.py", "--tiny", "--quant", "--w_bit", 4, "--a_bit", 4,
+            "--weight_quant", "per_group", "--act_quant", "per_group",
+            "--activation_fp_quant", "--weight_fp_quant",
+            "--rotate", "--block_rotate",
+            "--transform", "--best-s-dir", best,
+            "--classes", "0:2", "--num-img-per-class", 3, "--batch", 3,
+            "--pack-npz", "--out", figs)
+    pngs = [f for f in os.listdir(figs) if f.endswith(".png")]
+    assert len(pngs) == 6
+    npz = str(figs) + ".npz"
+    assert os.path.exists(npz)
+    assert np.load(npz)["arr_0"].shape == (6, 6, 6, 3)
+
+    mj = tmp_path / "metrics.json"
+    run_cli("score.py", npz, npz, "--inception", "random",
+            "--json-out", mj, "--batch", 4)
+    m = json.loads(mj.read_text())
+    assert set(m) >= {"IS", "FID", "sFID", "precision", "recall"}
+    # identical ref/sample feature sets: FID must collapse to ~0 even with
+    # random weights
+    assert abs(m["FID"]) < 1e-2 and abs(m["sFID"]) < 1e-2
+    assert m["IS"] >= 1.0
+
+
+def test_serve_cli_demo(tmp_path):
+    out = tmp_path / "served"
+    r = run_cli("serve.py", "--tiny", "--recipe", "w4a16", "--demo", 2,
+                "--max-batch", 2, "--out", out)
+    assert len([f for f in os.listdir(out) if f.endswith(".png")]) == 2
+    assert "served 2 requests" in r.stdout
+
+
+def test_train_cli(tmp_path):
+    out = tmp_path / "run"
+    r = run_cli("train.py", "--tiny", "--steps", 2, "--glb-batch", 2,
+                "--synthetic-n", 4, "--save-every", 2, "--log-every", 1,
+                "--out", out)
+    assert "done: 2 steps" in r.stdout
+    assert (out / "metrics.jsonl").exists()
+    assert os.path.isdir(out / "ckpt")
