@@ -68,11 +68,11 @@ def test_offline_pipeline_to_scored_eval(tmp_path):
     run_cli("score.py", npz, npz, "--inception", "random",
             "--json-out", mj, "--batch", 4)
     m = json.loads(mj.read_text())
-    assert set(m) >= {"IS", "FID", "sFID", "precision", "recall"}
+    assert set(m) >= {"inception_score", "fid", "sfid", "precision", "recall"}
     # identical ref/sample feature sets: FID must collapse to ~0 even with
     # random weights
-    assert abs(m["FID"]) < 1e-2 and abs(m["sFID"]) < 1e-2
-    assert m["IS"] >= 1.0
+    assert abs(m["fid"]) < 1e-2 and abs(m["sfid"]) < 1e-2
+    assert m["inception_score"] >= 1.0
 
 
 def test_serve_cli_demo(tmp_path):
