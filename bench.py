@@ -348,7 +348,8 @@ def main():
     # The headline ratio is the batch-1 deployment win; the full batch-8
     # suite stays in the metric string.
     b1 = None
-    if args.modes is None and args.batch is None and args.preset == "d30":
+    if args.b1_only or (
+            args.modes is None and args.batch is None and args.preset == "d30"):
         b1, b1_lat = run_suite(["bf16", "w4a16", "bf16/2"],
                                1, max(args.rounds, 40), "b1:",
                                pipelined=True)

@@ -139,3 +139,32 @@ def save_best_s(path: str, s: np.ndarray) -> None:
 
 def load_best_s(path: str) -> np.ndarray:
     return np.load(path)["best_s"]
+
+
+def load_best_s_pair(best_s_dir: str, bit: int):
+    """Load the (mat_qkv, fc1) best_s pair from a directory, preferring our
+    .npz artifacts over the reference's .pt (`best_lambda_var{30,36}/`).
+
+    Single loader shared by every CLI (evaluate/serve/convert) so they all
+    resolve the SAME artifact given the same directory; raises FileNotFoundError
+    with the candidate paths when one kind is missing.
+    """
+    import os
+
+    out = []
+    for kind in ("mat_qkv", "fc1"):
+        candidates = [
+            (os.path.join(best_s_dir, f"{kind}_best_s_fp{bit}.npz"),
+             load_best_s),
+            (os.path.join(best_s_dir, f"{kind}_best_s_fp{bit}.pt"),
+             load_reference_best_s),
+        ]
+        for path, loader in candidates:
+            if os.path.exists(path):
+                out.append(loader(path))
+                break
+        else:
+            raise FileNotFoundError(
+                f"no {kind} best_s artifact; looked for "
+                + " , ".join(p for p, _ in candidates))
+    return tuple(out)

@@ -209,9 +209,15 @@ def convert_vqvae_state_dict(
 def _flatten(tree, prefix=""):
     out = {}
     if isinstance(tree, dict):
+        if not tree:
+            # empty containers must survive the round trip: VQVAE levels
+            # carry empty 'attn' lists and the forwards index them
+            out[prefix + "__empty_dict"] = np.zeros((0,), np.uint8)
         for k, v in tree.items():
             out.update(_flatten(v, f"{prefix}{k}/"))
     elif isinstance(tree, (list, tuple)):
+        if not tree:
+            out[prefix + "__empty_list"] = np.zeros((0,), np.uint8)
         for i, v in enumerate(tree):
             out.update(_flatten(v, f"{prefix}{i}/"))
     elif isinstance(tree, PackedTensor):
@@ -273,6 +279,10 @@ def load_params(path: str) -> dict:
 
     def listify(node):
         if isinstance(node, dict):
+            if "__empty_list" in node:
+                return []
+            if "__empty_dict" in node:
+                return {}
             keys = list(node.keys())
             if keys and all(kk.isdigit() for kk in keys):
                 return [listify(node[str(i)]) for i in range(len(keys))]

@@ -18,14 +18,16 @@ def main():
     from _common import add_model_flags
 
     add_model_flags(p, default_depth=30)
-    p.add_argument("--var-ckpt", type=str, required=True)
+    p.add_argument("--var-ckpt", type=str, default=None,
+                   help="upstream torch .pth; omitted -> random init "
+                        "(smoke-test mode)")
     p.add_argument("--vae-ckpt", type=str, default=None)
     p.add_argument("--out", type=str, required=True)
     p.add_argument("--vae-out", type=str, default=None)
     # quantization recipe (same flags as scripts/evaluate.py, subset)
     p.add_argument("--quant", action="store_true")
     p.add_argument("--backend", type=str, default="packed",
-                   choices=["fake", "packed"])
+                   choices=["fake", "packed", "int8"])
     p.add_argument("--w_bit", type=int, default=4)
     p.add_argument("--weight_fp_type", type=str, default="fp_e2")
     p.add_argument("--rotate", action="store_true")
@@ -41,8 +43,17 @@ def main():
     from fpqvar_tpu.utils import checkpoint as C
 
     cfg = model_config(args)
-    var_p = C.convert_var_state_dict(
-        C.load_torch_state_dict(args.var_ckpt), cfg)
+    if args.var_ckpt:
+        var_p = C.convert_var_state_dict(
+            C.load_torch_state_dict(args.var_ckpt), cfg)
+    else:
+        import jax
+
+        from fpqvar_tpu.models.var import init_var_params
+
+        print("[warn] no --var-ckpt - random init (smoke-test mode)",
+              file=sys.stderr)
+        var_p = init_var_params(jax.random.PRNGKey(0), cfg)
 
     if args.quant or args.rotate or args.transform:
         qcfg = QuantConfig(
@@ -52,14 +63,7 @@ def main():
             transform=args.transform)
         galt = None
         if args.transform:
-            galt = tuple(
-                G.load_reference_best_s(os.path.join(
-                    args.best_s_dir, f"{k}_best_s_fp{args.w_bit}.pt"))
-                if os.path.exists(os.path.join(
-                    args.best_s_dir, f"{k}_best_s_fp{args.w_bit}.pt"))
-                else G.load_best_s(os.path.join(
-                    args.best_s_dir, f"{k}_best_s_fp{args.w_bit}.npz"))
-                for k in ("mat_qkv", "fc1"))
+            galt = G.load_best_s_pair(args.best_s_dir, args.w_bit)
         var_p = quantize_var_params(var_p, cfg, qcfg, galt=galt)
 
     C.save_params(args.out, var_p)

@@ -129,19 +129,10 @@ def load_galt(args, cfg):
         return None
     if args.best_s_dir is None:
         raise SystemExit("--transform requires --best-s-dir")
-    bit = args.w_bit
-    out = []
-    for kind in ("mat_qkv", "fc1"):
-        for ext, loader in ((".npz", G.load_best_s),
-                            (".pt", G.load_reference_best_s)):
-            path = os.path.join(args.best_s_dir, f"{kind}_best_s_fp{bit}{ext}")
-            if os.path.exists(path):
-                out.append(loader(path))
-                break
-        else:
-            raise SystemExit(f"no best_s artifact for {kind} in "
-                             f"{args.best_s_dir}")
-    return tuple(out)
+    try:
+        return G.load_best_s_pair(args.best_s_dir, args.w_bit)
+    except FileNotFoundError as e:
+        raise SystemExit(str(e))
 
 
 def main():
@@ -168,22 +159,31 @@ def main():
             coordinator_address=args.coordinator,
             num_processes=args.num_hosts, process_id=args.host_id)
 
-    if args.vae_ckpt and args.var_ckpt:
+    # the two checkpoints load independently: --packed-ckpt replaces the
+    # torch var ckpt entirely (skipping the multi-GB conversion), while the
+    # VQVAE still needs --vae-ckpt; anything missing falls back to random
+    # init with a warning (smoke-test mode)
+    if args.vae_ckpt:
         vae_p = C.convert_vqvae_state_dict(
             C.load_torch_state_dict(args.vae_ckpt), cfg.vae)
-        var_p = C.convert_var_state_dict(
-            C.load_torch_state_dict(args.var_ckpt), cfg)
-        var_p = jax.tree_util.tree_map(
-            lambda x: jnp.asarray(x, jnp.bfloat16), var_p)
     else:
-        print("[warn] no checkpoints given - using random init "
-              "(smoke-test mode)", file=sys.stderr)
-        vae_p, var_p = build_vae_var(jax.random.PRNGKey(0), cfg,
-                                     dtype=jnp.bfloat16)
-
+        print("[warn] no --vae-ckpt - random-init VQVAE (smoke-test mode)",
+              file=sys.stderr)
+        vae_p, _ = build_vae_var(jax.random.PRNGKey(0), cfg,
+                                 dtype=jnp.bfloat16)
     if args.packed_ckpt:
         var_p = C.load_params(args.packed_ckpt)
     else:
+        if args.var_ckpt:
+            var_p = C.convert_var_state_dict(
+                C.load_torch_state_dict(args.var_ckpt), cfg)
+            var_p = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x, jnp.bfloat16), var_p)
+        else:
+            print("[warn] no --var-ckpt - random-init VAR (smoke-test mode)",
+                  file=sys.stderr)
+            _, var_p = build_vae_var(jax.random.PRNGKey(0), cfg,
+                                     dtype=jnp.bfloat16)
         var_p = quantize_var_params(var_p, cfg, qcfg, galt=load_galt(args, cfg))
 
     # model-config dump (reference logs the module repr,

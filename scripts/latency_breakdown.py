@@ -31,11 +31,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
-                      ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", _CACHE)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+from fpqvar_tpu.utils.jit_cache import enable as _enable_cache  # noqa: E402
+
+_enable_cache()
 
 
 def build_cfg(preset):

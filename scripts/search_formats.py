@@ -52,7 +52,13 @@ def main():
         from fpqvar_tpu.quantize.calibration import capture_condition
 
         cond = capture_condition(var_p, cfg, np.arange(args.labels))
-        ada_w = np.asarray(var_p["blocks"]["ada_lin"]["w"], np.float32)
+        if cfg.shared_aln:
+            # 512 family: ONE SharedAdaLin at params["shared_ada_lin"]
+            # (per-block ada_gss has no linear to search) -> single entry
+            ada_w = np.asarray(
+                var_p["shared_ada_lin"]["w"], np.float32)[None]
+        else:
+            ada_w = np.asarray(var_p["blocks"]["ada_lin"]["w"], np.float32)
         results = S.search_ada_formats(cond, ada_w, space=space)
     else:
         weights = np.asarray(var_p["blocks"][f"{args.kind}_w"], np.float32)

@@ -56,15 +56,22 @@ def main():
     from fpqvar_tpu.eval.imaging import save_images_png
 
     cfg = model_config(args)
-    if args.vae_ckpt and args.var_ckpt:
+    # checkpoints load independently: a --packed-ckpt replaces the torch var
+    # ckpt (no --var-ckpt needed), the VQVAE comes from --vae-ckpt
+    if args.vae_ckpt:
         vae_p = C.convert_vqvae_state_dict(
             C.load_torch_state_dict(args.vae_ckpt), cfg.vae)
-        var_p = (C.load_params(args.packed_ckpt) if args.packed_ckpt
-                 else C.convert_var_state_dict(
-                     C.load_torch_state_dict(args.var_ckpt), cfg))
     else:
-        print("[warn] random init (smoke-test mode)", file=sys.stderr)
-        vae_p, var_p = build_vae_var(jax.random.PRNGKey(0), cfg)
+        print("[warn] random-init VQVAE (smoke-test mode)", file=sys.stderr)
+        vae_p, _ = build_vae_var(jax.random.PRNGKey(0), cfg)
+    if args.packed_ckpt:
+        var_p = C.load_params(args.packed_ckpt)
+    elif args.var_ckpt:
+        var_p = C.convert_var_state_dict(
+            C.load_torch_state_dict(args.var_ckpt), cfg)
+    else:
+        print("[warn] random-init VAR (smoke-test mode)", file=sys.stderr)
+        _, var_p = build_vae_var(jax.random.PRNGKey(0), cfg)
 
     qcfg = {"bf16": QuantConfig(), "w4a4": fpqvar_w4a4(),
             "w4a16": fpqvar_w4a16(), "w6a6": fpqvar_w6a6()}[args.recipe]
@@ -83,18 +90,10 @@ def main():
             if args.best_s_dir is None:
                 raise SystemExit(f"--recipe {args.recipe} applies GALT: "
                                  "pass --best-s-dir or --no-transform")
-            galt = []
-            for kind in ("mat_qkv", "fc1"):
-                for ext, loader in ((".npz", G.load_best_s),
-                                    (".pt", G.load_reference_best_s)):
-                    path = os.path.join(
-                        args.best_s_dir, f"{kind}_best_s_fp{qcfg.w_bit}{ext}")
-                    if os.path.exists(path):
-                        galt.append(loader(path))
-                        break
-                else:
-                    raise SystemExit(f"no {kind} best_s artifact in "
-                                     f"{args.best_s_dir}")
+            try:
+                galt = G.load_best_s_pair(args.best_s_dir, qcfg.w_bit)
+            except FileNotFoundError as e:
+                raise SystemExit(str(e))
         var_p = quantize_var_params(var_p, cfg, qcfg, galt=galt)
     gen = VARGenerator(cfg, qcfg, GenerateConfig())
     server = GenerationServer(gen, var_p, vae_p, max_batch=args.max_batch,

@@ -138,3 +138,24 @@ def test_intpack_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(got.codes), np.asarray(pw.codes))
     np.testing.assert_array_equal(np.asarray(got.scales),
                                   np.asarray(pw.scales))
+
+
+def test_npz_roundtrip_empty_containers(tmp_path):
+    """Empty lists/dicts survive save/load: VQVAE encoder/decoder levels
+    carry empty 'attn' lists that the forwards index (`if level["attn"]`) —
+    dropping them made convert_checkpoint.py's _vae.npz unusable."""
+    tree = {
+        "levels": [
+            {"attn": [], "res": [np.ones((2,), np.float32)]},
+            {"attn": [{"w": np.zeros((3,), np.float32)}], "res": []},
+        ],
+        "empty": {},
+    }
+    path = os.path.join(tmp_path, "vae.npz")
+    C.save_params(path, tree)
+    back = C.load_params(path)
+    assert back["levels"][0]["attn"] == []
+    assert back["levels"][1]["res"] == []
+    assert back["empty"] == {}
+    np.testing.assert_array_equal(back["levels"][0]["res"][0], np.ones((2,)))
+    assert back["levels"][1]["attn"][0]["w"].shape == (3,)

@@ -91,3 +91,33 @@ def test_train_cli(tmp_path):
     assert "done: 2 steps" in r.stdout
     assert (out / "metrics.jsonl").exists()
     assert os.path.isdir(out / "ckpt")
+
+
+def test_search_ada_shared_aln(tmp_path):
+    """ada-format search on a shared-AdaLN (512-family) model: the weight
+    lives at params['shared_ada_lin'], not blocks['ada_lin'] — exactly the
+    family the reference's ada search targets (search_fp_format_ada.py)."""
+    out = tmp_path / "ada.json"
+    run_cli("search_formats.py", "--kind", "ada", "--depth", 2,
+            "--resolution", 512, "--labels", 4,
+            "--calib", tmp_path, "--out", out)
+    data = json.loads(out.read_text())
+    assert len(data) == 1  # one shared layer
+    assert {"weight_format", "activation_format"} <= set(data[0])
+
+
+def test_evaluate_packed_ckpt_without_var_ckpt(tmp_path):
+    """--packed-ckpt alone must drive generation (no --var-ckpt needed):
+    convert a quantized checkpoint, then evaluate from it."""
+    ck = tmp_path / "q.npz"
+    run_cli("convert_checkpoint.py", "--tiny", "--quant",
+            "--w_bit", 4, "--backend", "int8", "--out", ck)
+    figs = tmp_path / "figs"
+    run_cli("evaluate.py", "--tiny", "--quant", "--w_bit", 4, "--a_bit", 4,
+            "--backend", "int8",
+            "--activation_fp_quant", "--weight_fp_quant",
+            "--weight_quant", "per_group", "--act_quant", "per_group",
+            "--packed-ckpt", ck,
+            "--classes", "0:1", "--num-img-per-class", 2, "--batch", 2,
+            "--out", figs)
+    assert len([f for f in os.listdir(figs) if f.endswith(".png")]) == 2
