@@ -23,6 +23,17 @@ bracket):
 Smaller presets: `python bench.py --preset tiny|d16` for smoke runs;
 `--preset d36` for the 512x512 model; `--modes`/`--batch` for manual
 single-regime runs (those report the best quant mode at that batch).
+
+BUDGET: the default invocation is sized for the driver's timed window
+(round 2's default — 7 modes x 12 rounds + a 40-round batch-1 suite —
+timed out at 4/7 modes and produced NO official number, BENCH_r02.json
+rc=124).  The default now measures the four modes that carry the story
+(bf16 bracket, int8chs = the throughput recipe mode, w4a16 = the
+deployment mode) at 8 rounds plus a short batch-1 pipelined suite, and a
+wall-clock
+guard (--budget, default 420s) skips remaining work and emits the JSON
+line with whatever completed.  `--full` restores the 8-mode research
+suite with no budget cap.
 """
 import argparse
 import json
@@ -152,15 +163,22 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="d30",
                     choices=["tiny", "d16", "d30", "d36"])
-    # at ~1s/generation, a handful of rounds is only seconds of signal —
-    # relay latency hiccups of 1-2s then dominate; 12 rounds ~ 10-15s per
-    # mode averages them out
-    ap.add_argument("--rounds", type=int, default=12)
+    # per-round medians reject relay stalls, so 8 rounds of steady signal
+    # suffice for the default; --full bumps to 12
+    ap.add_argument("--rounds", type=int, default=None)
     ap.add_argument("--batch", type=int, default=None,
                     help="override preset batch size")
     ap.add_argument("--b1-only", action="store_true",
                     help="skip the batch-8 suite; run only the batch-1 "
                          "pipelined deployment measurement")
+    ap.add_argument("--full", action="store_true",
+                    help="research suite: all modes, 12 rounds, 40-round "
+                         "batch-1 legs, no wall-clock budget")
+    ap.add_argument("--budget", type=float, default=None,
+                    help="wall-clock budget in seconds (default 420, or "
+                         "$FPQVAR_BENCH_BUDGET; --full disables). When "
+                         "exceeded, remaining modes are skipped and the "
+                         "JSON line reports whatever completed")
     ap.add_argument("--modes", type=str, default=None,
                     help="comma list from bf16,fake,int8,int8ch,int8chs,"
                          "packed,w4a16,w4a16p,int8kv,int8att (w4a16 = "
@@ -169,6 +187,20 @@ def main():
                          "GEMMs + packed int8 KV cache; int8att = int8kv + "
                          "int8 attention contractions)")
     args = ap.parse_args()
+    if args.b1_only and (args.modes or args.batch):
+        ap.error("--b1-only runs a fixed batch-1 mode list (bf16, w4a16, "
+                 "bf16 bracket); it cannot be combined with --modes/--batch")
+    if args.rounds is None:
+        args.rounds = 12 if args.full else 8
+    t_start = time.perf_counter()
+    if args.full:
+        budget = float("inf")
+    else:
+        budget = args.budget if args.budget is not None else float(
+            os.environ.get("FPQVAR_BENCH_BUDGET", "420"))
+
+    def over_budget(reserve=0.0):
+        return time.perf_counter() - t_start > budget - reserve
 
     from fpqvar_tpu.config import (GenerateConfig, QuantConfig, fpqvar_w4a4,
                                    fpqvar_w4a16)
@@ -265,9 +297,14 @@ def main():
         modes = args.modes.split(",")
     elif args.preset == "d36":
         modes = ["bf16", "int8kv", "int8att", "w4a16"]
-    else:
+    elif args.full:
         modes = ["bf16", "fake", "int8", "int8ch", "int8chs", "packed",
                  "w4a16"]
+    else:
+        # driver-window default: the bf16 bracket + the two modes that
+        # carry the story (int8chs = best throughput recipe mode, w4a16 =
+        # the batch-1 deployment mode).  `--full` for the research suite.
+        modes = ["bf16", "int8chs", "w4a16"]
 
     # The remote-TPU relay's throughput drifts up to 3-4x over minutes, and
     # at d30 batch 8 only ONE param set + program workspace fits in 16GB
@@ -278,25 +315,41 @@ def main():
     if "bf16" in modes and len(modes) > 1:
         modes = modes + ["bf16/2"]
 
+    qp_host_cache = {}
+
+    def host_params(mode_name):
+        """Host-side (numpy) transformed param tree for a mode, cached so
+        the multi-GB offline quantize runs once per mode across suites."""
+        if mode_name == "bf16":
+            return var_host
+        if mode_name not in qp_host_cache:
+            qcfg_m = mode_cfgs[mode_name]
+            qp = quantize_var_params(var_host, cfg, qcfg_m, galt=galt)
+            if qcfg_m.backend == "fake":
+                qp = jax.tree_util.tree_map(
+                    lambda a: a.astype(jnp.bfloat16)
+                    if hasattr(a, "dtype") and a.dtype == jnp.float32
+                    else a, qp)
+            qp_host_cache[mode_name] = jax.tree_util.tree_map(np.asarray, qp)
+        return qp_host_cache[mode_name]
+
     def run_suite(suite_modes, suite_batch, rounds, tag, pipelined=False):
         """``pipelined=True`` reports steady-state pipelined throughput
         (the serving number; hides the per-dispatch relay RTT) and prints
-        the per-call-sync latency alongside."""
+        the per-call-sync latency alongside.  Modes past the wall-clock
+        budget are skipped (closing bf16 bracket excepted: it is cheap —
+        no transform, program already compiled — and the drift ratio
+        needs it)."""
         lab = jnp.arange(suite_batch, dtype=jnp.int32) % cfg.num_classes
         results, latency = {}, {}
         for mode in suite_modes:
-            qcfg_m = mode_cfgs[mode.split("/")[0]]
-            if mode.split("/")[0] == "bf16":
-                params = jax.device_put(var_host, dev)
-            else:
-                qp = quantize_var_params(var_host, cfg, qcfg_m, galt=galt)
-                if qcfg_m.backend == "fake":
-                    qp = jax.tree_util.tree_map(
-                        lambda a: a.astype(jnp.bfloat16)
-                        if hasattr(a, "dtype") and a.dtype == jnp.float32
-                        else a, qp)
-                params = jax.device_put(
-                    jax.tree_util.tree_map(np.asarray, qp), dev)
+            base_name = mode.split("/")[0]
+            if base_name != "bf16" and over_budget(reserve=30):
+                print(f"# {tag}{mode}: SKIPPED (wall-clock budget "
+                      f"{budget:.0f}s exceeded)", file=sys.stderr, flush=True)
+                continue
+            qcfg_m = mode_cfgs[base_name]
+            params = jax.device_put(host_params(base_name), dev)
             gen = VARGenerator(cfg, qcfg_m, gen_cfg)
             extra = ""
             if pipelined:
@@ -348,17 +401,30 @@ def main():
     # The headline ratio is the batch-1 deployment win; the full batch-8
     # suite stays in the metric string.
     b1 = None
-    if args.b1_only or (
-            args.modes is None and args.batch is None and args.preset == "d30"):
+    want_b1 = args.b1_only or (
+        args.modes is None and args.batch is None and args.preset == "d30")
+    # the b1 suite needs ~90s warm-cache (3 modes x [device_put + 3-4
+    # pipelined windows + sync rounds]); skip it when the budget can't fit
+    # it and fall back to the batch-8 headline
+    if want_b1 and not args.b1_only and over_budget(reserve=100):
+        print(f"# b1 suite SKIPPED (wall-clock budget {budget:.0f}s "
+              f"exceeded); headline falls back to batch-{batch}",
+              file=sys.stderr, flush=True)
+        want_b1 = False
+    if want_b1:
+        b1_rounds = max(args.rounds, 40) if args.full else args.rounds
         b1, b1_lat = run_suite(["bf16", "w4a16", "bf16/2"],
-                               1, max(args.rounds, 40), "b1:",
-                               pipelined=True)
-        b1_bf16, b1_drift = bf16_stats(b1)
-        detail += ("; batch-1 pipelined: "
-                   + ", ".join(f"{k}={v:.3f}" for k, v in b1.items())
-                   + f", b1_bf16_drift={b1_drift}"
-                   + "; batch-1 per-call-sync: "
-                   + ", ".join(f"{k}={v:.3f}" for k, v in b1_lat.items()))
+                               1, b1_rounds, "b1:", pipelined=True)
+        if "w4a16" not in b1:  # budget ran out inside the suite
+            b1 = None
+        else:
+            b1_bf16, b1_drift = bf16_stats(b1)
+            detail += ("; batch-1 pipelined: "
+                       + ", ".join(f"{k}={v:.3f}" for k, v in b1.items())
+                       + f", b1_bf16_drift={b1_drift}"
+                       + "; batch-1 per-call-sync: "
+                       + ", ".join(f"{k}={v:.3f}"
+                                   for k, v in b1_lat.items()))
 
     if b1 is not None:
         headline_name = "w4a16 @ batch 1"
@@ -377,6 +443,9 @@ def main():
         value = ips_fp4
         vs = (ips_fp4 / ips_bf16) if ips_bf16 else None
         regime = f"batch {batch}"
+    if value is None:  # nothing measured (budget exhausted everywhere)
+        headline_name, value, vs = "none (budget exhausted)", 0.0, None
+    elapsed = round(time.perf_counter() - t_start, 1)
     print(json.dumps({
         "metric": f"images/sec/chip VAR-{args.preset} FP4 {res} "
                   f"(e2m1 + block-Hadamard; scales per-group-128 + fc2 "
@@ -384,7 +453,8 @@ def main():
                   f"int8chs=single-grid fc2, w4a16=weights-only; "
                   f"mode={headline_name}; {regime}; cfg-doubled; "
                   f"{detail}; bf16_drift={drift}; all rates are per-round "
-                  f"medians, ratios vs the bracketing bf16 mean)",
+                  f"medians, ratios vs the bracketing bf16 mean; "
+                  f"wall {elapsed}s of budget {budget}s)",
         "value": round(value, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs, 4) if vs else None,

@@ -11,8 +11,15 @@ try:
         make_manager,
         save_train_state,
     )
-except ModuleNotFoundError:  # pragma: no cover - env without orbax
-    pass
+except ModuleNotFoundError as e:  # pragma: no cover - env without orbax
+    if not (e.name or "").startswith("orbax"):
+        # anything OTHER than a missing orbax (a typo'd import inside
+        # resume.py, an unrelated missing dep) must not be silently
+        # swallowed — it would surface later as a misleading
+        # "cannot import name auto_resume" in scripts/train.py
+        raise
+    print("[warn] orbax not installed; checkpoint/resume disabled "
+          "(fpqvar_tpu.train.resume unavailable)", flush=True)
 from fpqvar_tpu.train.trainer import (  # noqa: F401
     TrainState,
     cross_entropy_loss,

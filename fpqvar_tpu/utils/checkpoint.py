@@ -17,10 +17,13 @@ import json
 import re
 from typing import Dict, Tuple
 
+import ml_dtypes
 import numpy as np
 
 from fpqvar_tpu.config import VARConfig, VQVAEConfig
 from fpqvar_tpu.ops.packing import IntPack, PackedTensor
+
+_BF16 = np.dtype(ml_dtypes.bfloat16)
 
 
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
@@ -221,21 +224,36 @@ def _flatten(tree, prefix=""):
         for i, v in enumerate(tree):
             out.update(_flatten(v, f"{prefix}{i}/"))
     elif isinstance(tree, PackedTensor):
+        scales = np.asarray(tree.scales)
+        sc_bf16 = scales.dtype == _BF16
         out[prefix + "__packed_codes"] = np.asarray(tree.codes)
-        out[prefix + "__packed_scales"] = np.asarray(tree.scales)
+        out[prefix + "__packed_scales"] = (
+            scales.view(np.uint16) if sc_bf16 else scales)
         out[prefix + "__packed_meta"] = np.frombuffer(
             json.dumps({"fmt": tree.fmt, "shape": list(tree.shape),
                         "group_size": tree.group_size,
-                        "nibble_packed": tree.nibble_packed}).encode(),
+                        "nibble_packed": tree.nibble_packed,
+                        "scales_bf16": sc_bf16}).encode(),
             np.uint8)
     elif isinstance(tree, IntPack):
+        scales = np.asarray(tree.scales)
+        sc_bf16 = scales.dtype == _BF16
         out[prefix + "__intpack_codes"] = np.asarray(tree.codes)
-        out[prefix + "__intpack_scales"] = np.asarray(tree.scales)
+        out[prefix + "__intpack_scales"] = (
+            scales.view(np.uint16) if sc_bf16 else scales)
         out[prefix + "__intpack_meta"] = np.frombuffer(
             json.dumps({"fmt": tree.fmt, "shape": list(tree.shape),
-                        "group_size": tree.group_size}).encode(), np.uint8)
+                        "group_size": tree.group_size,
+                        "scales_bf16": sc_bf16}).encode(), np.uint8)
     else:
-        out[prefix.rstrip("/")] = np.asarray(tree)
+        arr = np.asarray(tree)
+        if arr.dtype == _BF16:
+            # npz stores dtypes by descr, which loses ml_dtypes' registered
+            # bfloat16 (it loads back as raw void and jax rejects it);
+            # persist as a tagged uint16 view and re-view on load
+            out[prefix.rstrip("/") + "/__bf16"] = arr.view(np.uint16)
+        else:
+            out[prefix.rstrip("/")] = arr
     return out
 
 
@@ -264,16 +282,22 @@ def load_params(path: str) -> dict:
         node[keys[-1]] = val
 
     for k, v in plain.items():
-        insert(k.split("/"), v)
+        if k.endswith("/__bf16"):
+            insert(k[: -len("/__bf16")].split("/"), v.view(_BF16))
+        else:
+            insert(k.split("/"), v)
     for (k, kind), parts in packed.items():
         meta = json.loads(bytes(parts["meta"]).decode())
+        scales = parts["scales"]
+        if meta.get("scales_bf16", False):
+            scales = scales.view(_BF16)
         if kind == "intpack":
             insert(k.split("/"), IntPack(
-                parts["codes"], parts["scales"], meta["fmt"],
+                parts["codes"], scales, meta["fmt"],
                 tuple(meta["shape"]), meta["group_size"]))
         else:
             insert(k.split("/"), PackedTensor(
-                parts["codes"], parts["scales"], meta["fmt"],
+                parts["codes"], scales, meta["fmt"],
                 tuple(meta["shape"]), meta["group_size"],
                 meta.get("nibble_packed", False)))
 

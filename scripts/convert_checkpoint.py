@@ -55,6 +55,18 @@ def main():
               file=sys.stderr)
         var_p = init_var_params(jax.random.PRNGKey(0), cfg)
 
+    # bf16-cast unquantized leaves BEFORE the transform, mirroring
+    # evaluate.py's --var-ckpt path: quantize_var_params preserves dtype of
+    # non-quantized leaves (embeddings, head, biases), so a packed ckpt
+    # written from f32 would run with 2x the HBM and numerically diverge
+    # from the direct --var-ckpt route.
+    import jax
+    import jax.numpy as jnp
+
+    var_p = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, var_p)
+
     if args.quant or args.rotate or args.transform:
         qcfg = QuantConfig(
             enabled=args.quant, w_bit=args.w_bit,

@@ -140,6 +140,41 @@ def test_intpack_roundtrip(tmp_path):
                                   np.asarray(pw.scales))
 
 
+def test_npz_roundtrip_bf16(tmp_path):
+    """bfloat16 leaves (plain AND packed scales) survive the npz round trip:
+    npz stores dtypes by descr, which loses ml_dtypes' bfloat16 — it loaded
+    back as raw void and the first jit rejected the tree (regression: a
+    bf16-cast convert_checkpoint.py output crashed evaluate --packed-ckpt)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fpqvar_tpu.ops import packing as P
+
+    w = jax.random.normal(jax.random.PRNGKey(0), (2, 128, 256))
+    tree = {
+        "b": np.asarray(jnp.full((3, 4), 1.5, jnp.bfloat16)),
+        "f32": np.ones((2,), np.float32),
+        "ip": P.IntPack(
+            np.zeros((2, 4), np.int8),
+            np.asarray(jnp.full((2, 1), 0.25, jnp.bfloat16)),
+            "fp_e2", (2, 4), 4),
+        "pk": pack(jnp.asarray(w, jnp.float32), "fp_e2"),
+    }
+    path = os.path.join(tmp_path, "bf16.npz")
+    C.save_params(path, tree)
+    back = C.load_params(path)
+    assert back["b"].dtype == jnp.bfloat16
+    np.testing.assert_array_equal(back["b"].astype(np.float32),
+                                  np.full((3, 4), 1.5, np.float32))
+    assert back["f32"].dtype == np.float32
+    assert back["ip"].scales.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(back["ip"].scales, np.float32), 0.25)
+    # the loaded tree must be jit-consumable
+    jax.jit(lambda t: t["b"].sum() + t["ip"].scales.astype(jnp.float32).sum())(
+        {"b": back["b"], "ip": back["ip"]})
+
+
 def test_npz_roundtrip_empty_containers(tmp_path):
     """Empty lists/dicts survive save/load: VQVAE encoder/decoder levels
     carry empty 'attn' lists that the forwards index (`if level["attn"]`) —

@@ -2,12 +2,15 @@
 determinism, and mid-epoch resume continuity (reference
 `utils/data_sampler.py` semantics; deviations documented in
 `fpqvar_tpu/train/data.py`)."""
+import pytest
 import itertools
 
 import numpy as np
 
 from fpqvar_tpu.train.data import (
     dist_infinite_batches, eval_shard, infinite_batches)
+
+pytestmark = pytest.mark.quick
 
 
 def test_eval_shard_partitions_exactly():

@@ -70,6 +70,60 @@ def test_evaluate_all_keys():
                        "recall"}
 
 
+def test_metrics_golden_vs_reference_formulas():
+    """Golden cross-check: FID/IS/P/R vs a brute-force inline transcription
+    of the reference formulas (`openai_evaluator.py:71-115` TTUR FID,
+    `:178-191` split-KL IS, `:204-359` kNN manifolds) — independent of the
+    batched implementations in fpqvar_tpu.eval.metrics."""
+    from scipy import linalg
+
+    rng = np.random.default_rng(11)
+    ref = rng.normal(size=(600, 12)).astype(np.float64)
+    sam = (rng.normal(size=(600, 12)) * 1.3 + 0.4).astype(np.float64)
+
+    # FID: d^2 = |mu1-mu2|^2 + Tr(S1 + S2 - 2 sqrtm(S1 S2))
+    mu1, s1 = ref.mean(0), np.cov(ref, rowvar=False)
+    mu2, s2 = sam.mean(0), np.cov(sam, rowvar=False)
+    covmean = linalg.sqrtm(s1.dot(s2), disp=False)[0].real
+    want_fid = ((mu1 - mu2) @ (mu1 - mu2) + np.trace(s1) + np.trace(s2)
+                - 2 * np.trace(covmean))
+    got_fid = metrics.FIDStatistics.from_features(ref).frechet_distance(
+        metrics.FIDStatistics.from_features(sam))
+    np.testing.assert_allclose(got_fid, want_fid, rtol=1e-6)
+
+    # IS: exp(mean KL(p(y|x) || p(y))) per split of 5000, averaged; use
+    # split_size 250 so multiple splits are exercised
+    probs = np.abs(rng.normal(size=(600, 10))) + 1e-3
+    probs /= probs.sum(1, keepdims=True)
+    splits = []
+    for i in range(0, 600, 250):
+        part = probs[i: i + 250]
+        kl = part * (np.log(part) - np.log(part.mean(0, keepdims=True)))
+        splits.append(np.exp(np.mean(np.sum(kl, 1))))
+    np.testing.assert_allclose(
+        metrics.inception_score(probs, split_size=250),
+        np.mean(splits), rtol=1e-6)
+
+    # P/R: brute-force kNN radii (k-th smallest squared distance, self
+    # included at index 0 == reference's seq partition) + hypersphere test
+    def radii_brute(f, k=3):
+        d = ((f[:, None, :] - f[None, :, :]) ** 2).sum(-1)
+        return np.sort(d, axis=1)[:, k]
+
+    fr = ref.astype(np.float32)
+    fs = sam.astype(np.float32)
+    rr, rs = radii_brute(fr), radii_brute(fs)
+    d = ((fr[:, None, :] - fs[None, :, :]) ** 2).sum(-1)
+    want_prec = np.mean(np.any(d <= rr[:, None], axis=0))   # sample in ref
+    want_rec = np.mean(np.any(d <= rs[None, :], axis=1))    # ref in sample
+    est = metrics.ManifoldEstimator(nhood_size=3, row_batch=200,
+                                    col_batch=150)
+    got_rr, got_rs = est.manifold_radii(fr), est.manifold_radii(fs)
+    np.testing.assert_allclose(got_rr, rr, rtol=1e-3, atol=1e-3)
+    prec, rec = est.evaluate_pr(fr, got_rr, fs, got_rs)
+    assert abs(prec - want_prec) < 0.02 and abs(rec - want_rec) < 0.02
+
+
 def test_imaging_roundtrip(tmp_path):
     rng = np.random.default_rng(4)
     imgs = rng.random((3, 3, 8, 8)).astype(np.float32)

@@ -1,8 +1,11 @@
 """Golden-value tests: generated grids must equal the reference's hard-coded
 tables (`models_fp_quant/quant_utils.py:232-234,539-581`)."""
+import pytest
 import numpy as np
 
 from fpqvar_tpu.ops import grids as G
+
+pytestmark = pytest.mark.quick
 
 # Reference value tables (transcribed as *test vectors*, ascending order).
 REF_FP4_E3M0 = [-16.0, -8.0, -4.0, -2.0, -1.0, -0.5, -0.25, 0.0,

@@ -1,9 +1,12 @@
 """Rotation invariants (SURVEY.md §4(b)): orthogonality, block-equivalence,
 and exactness of (xQ)(WQ)^T = xW^T."""
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
 from fpqvar_tpu.ops import hadamard as H
+
+pytestmark = pytest.mark.quick
 
 
 def test_orthogonality():

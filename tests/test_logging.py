@@ -1,8 +1,11 @@
 """Observability utilities."""
+import pytest
 import json
 import os
 
 from fpqvar_tpu.utils.logging import MetricLogger, SmoothedValue, Timer
+
+pytestmark = pytest.mark.quick
 
 
 def test_smoothed_value():

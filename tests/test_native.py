@@ -9,6 +9,8 @@ from fpqvar_tpu.ops import packing as P
 from fpqvar_tpu.ops import quantizers as Q
 from fpqvar_tpu.utils import native
 
+pytestmark = pytest.mark.quick
+
 
 def test_native_builds_and_loads():
     assert native.available(), "g++ build of libfpq_native.so failed"

@@ -1,11 +1,14 @@
 """Packed-code path: pack/dequant must agree bit-exactly with the fake-quant
 path, and the arithmetic decoders must reproduce the grids."""
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
 from fpqvar_tpu.ops import grids as G
 from fpqvar_tpu.ops import packing as P
 from fpqvar_tpu.ops import quantizers as Q
+
+pytestmark = pytest.mark.quick
 
 
 def test_decode_fp4_e2m1_matches_grid():

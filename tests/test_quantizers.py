@@ -8,6 +8,8 @@ from fpqvar_tpu.config import QuantConfig
 from fpqvar_tpu.ops import grids as G
 from fpqvar_tpu.ops import quantizers as Q
 
+pytestmark = pytest.mark.quick
+
 
 def test_snap_basic():
     g = G.FP4_E2M1

@@ -16,6 +16,8 @@ from fpqvar_tpu.config import PATCH_NUMS_256, PATCH_NUMS_512
 from fpqvar_tpu.ops.resize import (
     area_matrix, bicubic_matrix, resize2d, upsample2x_nearest)
 
+pytestmark = pytest.mark.quick
+
 
 def _pairs():
     pairs = set()

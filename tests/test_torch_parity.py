@@ -3,6 +3,7 @@
 These validate the JAX re-implementations of standard layers against
 torch's semantics (eps placement, padding conventions, approximations) —
 the VQVAE/VAR stacks are only as correct as these primitives."""
+import pytest
 import numpy as np
 import torch
 import torch.nn.functional as F
@@ -12,6 +13,8 @@ import jax.numpy as jnp
 
 from fpqvar_tpu.models import var as V
 from fpqvar_tpu.models import vqvae as vq
+
+pytestmark = pytest.mark.quick
 
 RNG = np.random.default_rng(0)
 
