@@ -1,5 +1,7 @@
 """Multi-chip sharding tests on the 8-virtual-device CPU mesh: dp x tp
 generation and training must agree with single-device execution."""
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -149,3 +151,25 @@ def test_sharded_generation_matches_single_device(model):
         out = gen.generate(sp, vae_p, labels_sh, key)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-2, rtol=2e-2)
+
+
+def test_dryrun_multichip_16_devices():
+    """dp4 x tp4 over 16 virtual devices (VERDICT r2 #6: prove the sharded
+    train step + both quantized TP generation backends on a mesh larger
+    than the 8-device default).  Subprocess: the device count is fixed at
+    backend init, so the parent's 8-device platform can't be resized."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=16"
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(16)"],
+        cwd=os.path.join(os.path.dirname(__file__), ".."),
+        env=env, capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "mesh dp=4 tp=4" in out.stdout
+    assert "int8, packed" in out.stdout
