@@ -168,6 +168,10 @@ def main():
     ap.add_argument("--rounds", type=int, default=None)
     ap.add_argument("--batch", type=int, default=None,
                     help="override preset batch size")
+    ap.add_argument("--warm-cache", action="store_true",
+                    help="build + disk-cache the host param trees for the "
+                         "selected modes, then exit (no device work); run "
+                         "under JAX_PLATFORMS=cpu to leave the TPU free")
     ap.add_argument("--b1-only", action="store_true",
                     help="skip the batch-8 suite; run only the batch-1 "
                          "pipelined deployment measurement")
@@ -213,12 +217,36 @@ def main():
     if args.batch:
         batch = args.batch
     key = jax.random.PRNGKey(0)
+
+    # Host-side param trees (random init + each mode's offline quantize
+    # transform) are DISK-CACHED under .bench_cache/: at d30 the init is
+    # ~60s and an int8chs fold+rotate+snap transform ~130s of host CPU —
+    # repeated across modes that alone overran the driver's bench window
+    # (the round-2 rc=124).  Keyed by preset + the QuantConfig repr, so a
+    # recipe change invalidates cleanly; loads are seconds of disk IO.
+    import hashlib
+
+    from fpqvar_tpu.utils import checkpoint as CKPT
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".bench_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+
+    def disk_cached(tag, build_fn):
+        path = os.path.join(cache_dir, f"{args.preset}-{tag}.npz")
+        if os.path.exists(path):
+            return CKPT.load_params(path)
+        tree = build_fn()
+        CKPT.save_params(path, tree)
+        return tree
+
     # init on host CPU (avoids pulling hundreds of MB back from the device
     # for the offline quantization transform), then place on the accelerator
     # once.
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
-        var_p = init_var_params(key, cfg, dtype=jnp.bfloat16)
+        var_host = disk_cached("base", lambda: jax.tree_util.tree_map(
+            np.asarray, init_var_params(key, cfg, dtype=jnp.bfloat16)))
         vae_p = init_vqvae_params(jax.random.PRNGKey(1), cfg.vae)
         vae_p = jax.tree_util.tree_map(
             lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
@@ -239,7 +267,6 @@ def main():
             if hasattr(leaf, "delete"):
                 leaf.delete()
 
-    var_host = jax.tree_util.tree_map(np.asarray, var_p)
     # transform=True with unit vectors: random-init weights but the ONLINE
     # GALT multiply cost is included — the benched program is the full
     # flagship recipe, not a lighter variant
@@ -324,13 +351,19 @@ def main():
             return var_host
         if mode_name not in qp_host_cache:
             qcfg_m = mode_cfgs[mode_name]
-            qp = quantize_var_params(var_host, cfg, qcfg_m, galt=galt)
-            if qcfg_m.backend == "fake":
-                qp = jax.tree_util.tree_map(
-                    lambda a: a.astype(jnp.bfloat16)
-                    if hasattr(a, "dtype") and a.dtype == jnp.float32
-                    else a, qp)
-            qp_host_cache[mode_name] = jax.tree_util.tree_map(np.asarray, qp)
+
+            def build_qp():
+                qp = quantize_var_params(var_host, cfg, qcfg_m, galt=galt)
+                if qcfg_m.backend == "fake":
+                    qp = jax.tree_util.tree_map(
+                        lambda a: a.astype(jnp.bfloat16)
+                        if hasattr(a, "dtype") and a.dtype == jnp.float32
+                        else a, qp)
+                return jax.tree_util.tree_map(np.asarray, qp)
+
+            tag = (mode_name + "-" + hashlib.sha1(
+                repr(qcfg_m).encode()).hexdigest()[:10])
+            qp_host_cache[mode_name] = disk_cached(tag, build_qp)
         return qp_host_cache[mode_name]
 
     def run_suite(suite_modes, suite_batch, rounds, tag, pipelined=False):
@@ -376,6 +409,17 @@ def main():
         drift = (round(max(samples) / min(samples), 3)
                  if len(samples) > 1 else None)
         return mean, drift
+
+    if args.warm_cache:
+        # build (and disk-persist) every selected mode's host param tree
+        # without touching the accelerator — run this once after a recipe
+        # change so the timed driver window only pays loads + device_puts
+        for mode in dict.fromkeys(modes + ["w4a16"]):  # b1 suite needs w4a16
+            name = mode.split("/")[0]
+            if name != "bf16":
+                host_params(name)
+                print(f"# warmed {name}", file=sys.stderr, flush=True)
+        return
 
     if args.b1_only:
         results, ips_bf16, drift = {}, None, None

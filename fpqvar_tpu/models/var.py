@@ -444,31 +444,42 @@ def run_blocks(
     remat: bool = False,
 ) -> Tuple[Array, Optional[Tuple[Array, Array]], Optional[Dict[str, Array]]]:
     blocks = params["blocks"]
-    per_block_aq = qrt is not None and qrt.per_block_act_q is not None
+    mixed = qrt is not None and qrt.mixed_act_q is not None
 
-    if per_block_aq:
-        # Mixed-format configs (`quant_utils.py:1256-1432`) need per-block
-        # quantizers -> unrolled python loop (still jit-compatible).
-        d = cfg.depth
-        new_caches, taps_l = [], []
-        for i in range(d):
-            bp = jax.tree_util.tree_map(lambda a: a[i], blocks)
-            qrt_i = qrt.for_block(i)
-            ci = (jax.tree_util.tree_map(lambda a: a[i], cache)
-                  if cache is not None else None)
-            x, upd, taps = block_forward(
-                x, bp, mod[i], qrt_i, cfg, ci, cur, attn_bias, capture)
-            if upd is not None:
-                new_caches.append(upd)
-            if capture:
-                taps_l.append(taps)
-        taps_out = (jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *taps_l)
-                    if capture else None)
+    if mixed:
+        # Mixed-format configs (`quant_utils.py:1256-1432`): the per-block
+        # act format becomes DATA — a [depth] variant index scanned with
+        # the weights, switching between one compiled block body per
+        # DISTINCT format inside the scan.  Compile cost is O(#formats)
+        # bodies (2 for the paper's e2/e3 splits), not O(depth) — the
+        # round-2 unrolled loop compiled 30 bodies at d30.
+        variants = [qrt.for_variant(v) for v in range(len(qrt.mixed_act_q))]
+        vidx = jnp.asarray(qrt.mixed_idx, jnp.int32)
+
+        def body(carry, xs):
+            xc = carry
+            if cache is not None:
+                bp, m, ci, bi = xs
+            else:
+                (bp, m, bi), ci = xs, None
+
+            branches = [
+                (lambda q: lambda ops: block_forward(
+                    ops[0], ops[1], ops[2], q, cfg, ops[3], cur,
+                    attn_bias, capture))(qv)
+                for qv in variants
+            ]
+            xc, upd, taps = jax.lax.switch(bi, branches, (xc, bp, m, ci))
+            return xc, (upd, taps)
+
+        if remat:
+            body = jax.checkpoint(body, prevent_cse=False)
         if cache is not None:
-            stacked = jax.tree_util.tree_map(
-                lambda *xs: jnp.stack(xs), *new_caches)
-            return x, stacked, taps_out
-        return x, None, taps_out
+            x, (new_cache, taps) = jax.lax.scan(
+                body, x, (blocks, mod, cache, vidx))
+            return x, new_cache, taps
+        x, (_, taps) = jax.lax.scan(body, x, (blocks, mod, vidx))
+        return x, None, taps
 
     def body(carry, xs):
         xc = carry

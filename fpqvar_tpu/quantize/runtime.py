@@ -96,7 +96,14 @@ class QuantRuntime:
     #: per layer kind: the format name when the fused rotate+quantize+GEMM
     #: kernel can handle this layer's act quantization, else None
     fused_fmt: Dict[str, Optional[str]] = field(default_factory=dict)
-    per_block_act_q: Optional[List[Dict[str, Optional[Callable]]]] = None
+    #: mixed-format configs (`quant_utils.py:1256-1432`): one act_q dict per
+    #: DISTINCT block format (2 for the paper's e2/e3 splits) + a per-block
+    #: variant index.  The model scans ONE block body containing a
+    #: lax.switch over the variants — compile cost scales with the number
+    #: of distinct formats, not with depth (the round-2 unrolled loop
+    #: compiled 30 separate bodies at d30).
+    mixed_act_q: Optional[Tuple[Dict[str, Optional[Callable]], ...]] = None
+    mixed_idx: Optional[Tuple[int, ...]] = None
     kv_q: Optional[Callable] = None
     kv_mode: str = "store"
     kv_codec: Optional[KVCodec] = None
@@ -112,9 +119,16 @@ class QuantRuntime:
     mesh: Optional[object] = None
 
     def for_block(self, i: int) -> "QuantRuntime":
-        assert self.per_block_act_q is not None
+        assert self.mixed_act_q is not None
+        return self.for_variant(self.mixed_idx[i])
+
+    def for_variant(self, v: int) -> "QuantRuntime":
+        """The runtime with variant ``v``'s act quantizers (one lax.switch
+        branch of the mixed-format block body)."""
+        assert self.mixed_act_q is not None
         return dataclasses.replace(
-            self, act_q=self.per_block_act_q[i], per_block_act_q=None)
+            self, act_q=self.mixed_act_q[v], mixed_act_q=None,
+            mixed_idx=None)
 
 
 def _act_quantizer_for(qcfg: QuantConfig, fmt_name: str, kind: str):
@@ -157,7 +171,8 @@ def build_runtime(qcfg: QuantConfig, depth: Optional[int] = None,
     act_q: Dict[str, Optional[Callable]] = {k: None for k in LAYER_KINDS}
     fmts: Dict[str, Optional[str]] = {k: None for k in LAYER_KINDS}
     fused_fmt: Dict[str, Optional[str]] = {k: None for k in LAYER_KINDS}
-    per_block = None
+    mixed = None
+    mixed_idx = None
     if qcfg.enabled:
         if qcfg.int_quant:
             fmts = {k: "int" for k in LAYER_KINDS}
@@ -224,19 +239,24 @@ def build_runtime(qcfg: QuantConfig, depth: Optional[int] = None,
                 raise ValueError("depth required for mixed-format configs")
             if len(qcfg.mixed_act_formats) != depth:
                 raise ValueError("mixed_act_formats must have one entry per block")
-            per_block = []
-            for bfmt in qcfg.mixed_act_formats:
+            distinct = list(dict.fromkeys(qcfg.mixed_act_formats))
+            variants = []
+            for bfmt in distinct:
                 d = dict(act_q)
                 for k in ("mat_qkv", "proj", "fc1"):
                     d[k] = _act_quantizer_for(qcfg, bfmt, k)
-                per_block.append(d)
+                variants.append(d)
+            mixed = tuple(variants)
+            mixed_idx = tuple(distinct.index(f)
+                              for f in qcfg.mixed_act_formats)
 
     kv_q, kv_codec = _build_kv(qcfg)
     return QuantRuntime(
         act_q=act_q,
         act_fmts=fmts,
         fused_fmt=fused_fmt,
-        per_block_act_q=per_block,
+        mixed_act_q=mixed,
+        mixed_idx=mixed_idx,
         kv_q=kv_q,
         kv_mode=qcfg.kv_mode,
         kv_codec=kv_codec,

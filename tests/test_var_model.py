@@ -547,3 +547,40 @@ def test_single_sort_topk_topp_filter_matches_sequential():
         seq = top_k_top_p_filter(seq, 0, p)           # then top-p alone
         np.testing.assert_array_equal(np.asarray(fused), np.asarray(seq))
         assert bool((fused == NEG_INF).any()) or k == 64
+
+
+def test_mixed_format_scan_matches_uniform(tiny_model):
+    """Mixed-format path (scan + lax.switch over distinct-format bodies):
+    with every block assigned the SAME format it must reproduce the uniform
+    config bit-wise, and a genuinely mixed assignment must differ from
+    uniform (the e3 blocks actually use the e3 grid)."""
+    vae_p, var_p = tiny_model
+    cfg = TINY
+    key = jax.random.PRNGKey(1)
+    labels = jnp.array([3, 5])
+
+    uni = fpqvar_w4a4().replace(transform=False)
+    qp = quantize_var_params(var_p, cfg, uni)
+    ref = VARGenerator(cfg, uni).generate(qp, vae_p, labels, key)
+
+    same = uni.replace(mixed_act_formats=("fp_e2",) * cfg.depth)
+    out_same = VARGenerator(cfg, same).generate(
+        quantize_var_params(var_p, cfg, same), vae_p, labels, key)
+    np.testing.assert_array_equal(np.asarray(out_same), np.asarray(ref))
+
+    # a genuinely mixed assignment must CHANGE the teacher-forcing logits
+    # vs uniform (images can alias through argmax sampling; logits can't)
+    from fpqvar_tpu.models import var as Vm
+    from fpqvar_tpu.quantize.runtime import build_runtime
+
+    x = jax.random.normal(
+        jax.random.PRNGKey(7),
+        (2, cfg.L - cfg.first_l, cfg.vae.z_channels))
+    mix = uni.replace(mixed_act_formats=("fp_e2", "fp_e3"))
+    qp_uni = quantize_var_params(var_p, cfg, uni)
+    lg_uni = Vm.var_forward(qp_uni, cfg, build_runtime(uni, cfg.depth),
+                            labels, x)
+    lg_mix = Vm.var_forward(
+        quantize_var_params(var_p, cfg, mix), cfg,
+        build_runtime(mix, cfg.depth), labels, x)
+    assert float(jnp.mean(jnp.abs(lg_mix - lg_uni))) > 0.0
