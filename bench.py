@@ -78,22 +78,33 @@ def build(preset: str):
     return cfg, batch
 
 
+#: per-process key salt: the relay MEMOIZES identical (program, inputs)
+#: executions ACROSS processes — a rerun with the deterministic bench keys
+#: returns instantly with the previous run's images (observed: "4438
+#: img/s" on a warm repeat).  Salting the generation keys per process
+#: guarantees every timed call is fresh work; within-run comparability is
+#: unaffected (every mode shares the salt).
+_RUN_SALT = int.from_bytes(os.urandom(4), "little") & 0x7FFFFFFF
+
+
 def time_generate(gen, params, vae_params, label, key, rounds=3):
+    key = jax.random.fold_in(key, _RUN_SALT)
     # warmup + compile
     imgs = gen.generate(params, vae_params, label, key)
-    imgs.block_until_ready()
+    np.asarray(imgs[0, 0, 0, 0])        # force through the relay
     # per-round MEDIAN, not mean: the remote-TPU relay injects multi-second
     # stalls into otherwise-steady sub-second calls (observed: the same
     # cached bf16 program measuring 3.4 vs 12.0 img/s minutes apart when
     # one stall lands inside a ~4 s mean window).  The median of the round
     # latencies is the steady-state rate and is what the hardware actually
-    # sustains.
+    # sustains.  Each round FETCHES a pixel: block_until_ready through the
+    # relay can return before execution.
     dts = []
     for i in range(rounds):
         t0 = time.perf_counter()
         imgs = gen.generate(params, vae_params, label,
                             jax.random.fold_in(key, i))
-        imgs.block_until_ready()
+        np.asarray(imgs[0, 0, 0, 0])
         dts.append(time.perf_counter() - t0)
     dt = float(np.median(dts))
     assert not bool(jnp.isnan(imgs).any()), "NaN in generated images"
@@ -112,8 +123,9 @@ def time_generate_pipelined(gen, params, vae_params, label, key,
     dispatch regardless of program size).  Pipelining overlaps the RTT with
     device execution, which is how a serving deployment actually drives the
     chip; the median over ``windows`` windows rejects relay stalls."""
+    key = jax.random.fold_in(key, _RUN_SALT)
     imgs = gen.generate(params, vae_params, label, key)  # warmup + compile
-    imgs.block_until_ready()
+    np.asarray(imgs[0, 0, 0, 0])        # force through the relay
     rates = []
     for w in range(windows):
         t0 = time.perf_counter()
@@ -382,7 +394,16 @@ def main():
                       f"{budget:.0f}s exceeded)", file=sys.stderr, flush=True)
                 continue
             qcfg_m = mode_cfgs[base_name]
-            params = jax.device_put(host_params(base_name), dev)
+            t_a = time.perf_counter()
+            hp = host_params(base_name)
+            t_b = time.perf_counter()
+            params = jax.device_put(hp, dev)
+            for leaf in jax.tree_util.tree_leaves(params):
+                if hasattr(leaf, "block_until_ready"):
+                    leaf.block_until_ready()
+            t_c = time.perf_counter()
+            print(f"# {tag}{mode}: host params {t_b - t_a:.1f}s, "
+                  f"device_put {t_c - t_b:.1f}s", file=sys.stderr, flush=True)
             gen = VARGenerator(cfg, qcfg_m, gen_cfg)
             extra = ""
             if pipelined:

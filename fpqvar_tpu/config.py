@@ -173,6 +173,15 @@ class QuantConfig:
     #: "fake" keeps a dense bf16 cache; "packed" stores int8 codes +
     #: per-token scales (requires kv_mode="store" and a grid kv format).
     kv_backend: str = "fake"
+    #: kv_bit=4 grouping compatibility: the reference reshapes the WHOLE
+    #: cache tensor to (-1, 128) — one scale group spans 2 consecutive
+    #: tokens at head_dim 64 (`fp_quant_e2_per_group_cuda`,
+    #: `models_fp_quant_transform_rotate/quant_utils.py:313-330`, called at
+    #: `basic_var.py:197-198`).  False (default) groups per head_dim row,
+    #: which is shardable over tp and never mixes tokens; True reproduces
+    #: the reference grouping bit-wise (kv_mode="reference"/"store" fake
+    #: backends only — the packed codec is per-token by design).
+    kv_ref_grouping: bool = False
     #: int8 attention contractions over the packed KV codes (TPU-native
     #: extension; the reference never quantizes q or the score matrix).
     #: Requires kv_backend="packed" with an integer-value kv format: q is

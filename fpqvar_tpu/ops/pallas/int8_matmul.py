@@ -214,6 +214,138 @@ def _int8ch_matmul_2d(acodes, ascales, wcodes, wscales, *, n, k_dim,
     return out[:m] if m_pad != m else out
 
 
+def _fused_ch_kernel(x_ref, wc_ref, ws_ref, out_ref, codes_ref, asc_ref,
+                     acc_ref, *, nk, bk, int_grid, mids):
+    """Two-phase fused per-channel int8 GEMM (the round-3 kernel):
+
+    phase 1 (once per M-tile, at j==kk==0): per-token quantize the WHOLE
+    [bm, K] activation block into int8 value codes + one f32 scale per row,
+    both kept in VMEM scratch — the act-quant chain never round-trips HBM
+    and never re-runs per N-tile;
+
+    phase 2 (every (j, kk)): one int8 x int8 -> int32 MXU dot per K-tile
+    into a VMEM accumulator; at the last K-tile the single f32 rescale
+    (ascale outer wscale) happens on the registered tile before the one
+    bf16 HBM write — no [M, N] int32/f32 epilogue pass ever materializes.
+
+    Round-2's negative result (ROUND_NOTES_r02.md int8ch section) was a
+    dot-only Pallas kernel: the pallas_call boundary forced the XLA-side
+    quantize chain's codes/scales through HBM.  Bringing the quantize
+    inside removes that boundary; the remaining cost is x [bm, K] bf16
+    read once per M-tile (index map constant over j/kk -> stays in VMEM).
+    """
+    j, kk = pl.program_id(1), pl.program_id(2)
+
+    @pl.when((j == 0) & (kk == 0))
+    def _():
+        y = x_ref[:].astype(jnp.float32)
+        amax = jnp.max(jnp.abs(y), axis=1, keepdims=True)
+        gmax = float(max(abs(int_grid[0]), abs(int_grid[-1])))
+        # divisions (not reciprocal-multiplies): amax/gmax_int is exactly
+        # (amax/gmax_grid)/mult for power-of-two mult, so yn's compares are
+        # BIT-identical to packing.quant_int_codes' grid-unit compares
+        scale = jnp.where(amax > 0, amax / jnp.float32(gmax), 1.0)
+        yn = y / scale
+        # integer-delta compare-sum: codes = int_grid[0]
+        #   + sum_i (int_grid[i+1]-int_grid[i]) * [yn >= mid_i]
+        # == round(snap_to_grid(yn/mult_units) * mult): same <=-tie rule,
+        # bit-parity with packing.quant_int_codes
+        code = jnp.full(yn.shape, float(int_grid[0]), jnp.float32)
+        for m_, d_ in zip(mids, (int_grid[1:] - int_grid[:-1]).tolist()):
+            code = code + jnp.where(yn >= m_, jnp.float32(d_),
+                                    jnp.float32(0))
+        codes_ref[:] = code.astype(jnp.int8)
+        asc_ref[:] = scale
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot_general(
+        codes_ref[:, pl.ds(pl.multiple_of(kk * bk, bk), bk)], wc_ref[:],
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+
+    @pl.when(kk == nk - 1)
+    def _():
+        out_ref[:] = (acc_ref[:].astype(jnp.float32)
+                      * asc_ref[:] * ws_ref[:]).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("fmt", "n", "k_dim",
+                                             "out_dtype", "interpret"))
+def _fused_ch_matmul_2d(x, wcodes, wscales, *, fmt, n, k_dim,
+                        out_dtype=jnp.bfloat16, interpret=False):
+    """x [M, K] (bf16/f32, post rotate+smooth), wcodes [K, N] int8,
+    wscales [1, N] f32 (CODE_MULT folded) -> [M, N] out_dtype.
+
+    The activation's per-token scale (absmax/gmax/mult) and int8 value
+    codes are computed IN-KERNEL (see _fused_ch_kernel); output equals
+    _channel_dot(P.quant_int_codes(x, fmt, K)) bit-wise."""
+    import numpy as np  # local: grid table -> static kernel constants
+
+    from fpqvar_tpu.ops import grids as G
+    from fpqvar_tpu.ops import packing as P2
+
+    m = x.shape[0]
+    grid_vals = np.asarray(G.GRIDS[fmt], np.float32)
+    mult = float(P2.CODE_MULT[fmt])
+    int_grid = np.round(grid_vals * mult).astype(np.int32)
+    # midpoints in scale-normalized units times mult (yn is y/scale where
+    # scale = absmax/gmax/... times 1/mult folded into gmax): compare in
+    # int-code units, so mids are between consecutive INT values
+    mids = (((grid_vals[1:] + grid_vals[:-1]) * 0.5) * mult).tolist()
+
+    bn = 128 * _pick(n, 128, (5, 4, 3, 2, 1))
+    bkg = _pick(k_dim, 128, (5, 4, 3, 2, 1))
+    bk = 128 * bkg
+    # VMEM budget: x [bm,K] bf16 + codes [bm,K] int8 + acc [bm,bn] i32
+    bm = 256 if k_dim > 4096 else 512
+    m_pad = _round_up(max(m, 32), bm) if m > bm else _round_up(max(m, 32), 32)
+    bm_eff = min(bm, m_pad)
+    if m_pad != m:
+        x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+    nk = k_dim // bk
+    out = pl.pallas_call(
+        functools.partial(_fused_ch_kernel, nk=nk, bk=bk,
+                          int_grid=int_grid, mids=mids),
+        grid=(m_pad // bm_eff, n // bn, nk),
+        in_specs=[
+            pl.BlockSpec((bm_eff, k_dim), lambda i, j, kk: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm_eff, bn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bm_eff, k_dim), jnp.int8),
+            pltpu.VMEM((bm_eff, 1), jnp.float32),
+            pltpu.VMEM((bm_eff, bn), jnp.int32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * n * k_dim,
+            bytes_accessed=m_pad * k_dim * 2 + n * k_dim + m_pad * n * 2,
+            transcendentals=0,
+        ),
+    )(x, wcodes, wscales)
+    return out[:m] if m_pad != m else out
+
+
+#: opt-in switch for the fused quantize+dot+rescale per-channel kernel
+#: (round-3 two-phase design).  Measured on TPU before flipping the
+#: default; the jnp/XLA chain stays as fallback and parity reference.
+USE_FUSED_CH_KERNEL = True
+
+
+def _fused_ch_usable(n, k_dim, interpret=False):
+    return ((jax.default_backend() == "tpu" or interpret)
+            and n % 128 == 0 and k_dim % 128 == 0)
+
+
 def _channel_dot(ac, asc, wc, ws):
     """Per-channel/per-token path (G == 1): ONE full-K int8 MXU dot with the
     scales hoisted entirely out of the contraction.
@@ -416,7 +548,20 @@ def int8_linear(x, pw: P.IntPack, act_fmt: str = None, *,
         if out is None:
             out = _wonly_dot(x2, pw.codes, pw.scales, pw.group_size)
         return out.reshape(lead + (n,)).astype(x.dtype)
-    ac, asc = P.quant_int_codes(x2, act_fmt or pw.fmt, pw.group_size)
+    fmt = act_fmt or pw.fmt
+    if (USE_FUSED_CH_KERNEL and pw.group_size == k_dim and mesh is None
+            and not force_jnp and fmt in P.CODE_MULT
+            and _fused_ch_usable(n, k_dim)):
+        # per-channel/per-token single-grid path: the two-phase fused
+        # kernel quantizes in VMEM and rescales before the one HBM write
+        # (TP path keeps the XLA chain: its per-token scale is global
+        # over K while shard_map splits K locally)
+        out_dtype = (jnp.bfloat16 if x.dtype == jnp.bfloat16
+                     else jnp.float32)
+        out = _fused_ch_matmul_2d(x2, pw.codes, pw.scales, fmt=fmt,
+                                  n=n, k_dim=k_dim, out_dtype=out_dtype)
+        return out.reshape(lead + (n,)).astype(x.dtype)
+    ac, asc = P.quant_int_codes(x2, fmt, pw.group_size)
     out = None
     if mesh is not None and parallel is not None:
         out = _shard_mapped(ac, asc, pw.codes, pw.scales, mesh=mesh,

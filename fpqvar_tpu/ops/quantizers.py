@@ -304,9 +304,21 @@ def fake_quant_kv(x: Array, qcfg) -> Array:
     if fmt in G.DUAL_GRIDS:
         return fake_quant_dual(x, fmt, granularity="per_token")
     gran = "per_group" if fmt in ("fp_e1", "fp_e2", "fp_e3") else "per_token"
-    # fp4 KV grouping: head_dim is 64 (< default 128); the reference flattens
-    # [B,H,L,c] and groups by 128 across heads/tokens. We group per 64-wide
-    # head_dim rows instead, which is both saner and shardable.
+    if gran == "per_group" and qcfg.kv_ref_grouping:
+        # reference-compat fp4 grouping: reshape the WHOLE tensor to
+        # (-1, 128) like `fp_quant_e2_per_group_cuda` (`quant_utils.py:
+        # 313-330`) — scale groups span 2 consecutive tokens at head_dim
+        # 64.  Requires total elements % 128 == 0 (the reference has the
+        # same constraint).
+        shape = x.shape
+        flat = x.reshape(-1, qcfg.group_size)
+        out = fake_quant_fp(flat, fmt, granularity="per_group",
+                            group_size=qcfg.group_size)
+        return out.reshape(shape)
+    # fp4 KV grouping (default): head_dim is 64 (< default 128); the
+    # reference flattens [B,H,L,c] and groups by 128 across heads/tokens.
+    # We group per 64-wide head_dim rows instead, which is both saner and
+    # shardable (see kv_ref_grouping for the exact-compat mode).
     gs = min(qcfg.group_size, x.shape[-1])
     return fake_quant_fp(x, fmt, granularity=gran, group_size=gs)
 

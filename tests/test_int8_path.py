@@ -439,3 +439,44 @@ def test_w4a16_packed_generation_matches_weight_only_fake(tiny_model):
     img_fk = VARGenerator(TINY, qcfg_fk).generate(qp_fk, vae_p, label, key)
     np.testing.assert_allclose(np.asarray(img), np.asarray(img_fk),
                                atol=2e-2)
+
+
+@pytest.mark.parametrize("fmt", ["fp_e2", "fp_e3", "fp6_e2m3"])
+def test_fused_ch_kernel_matches_xla_chain_interpret(fmt):
+    """Round-3 two-phase fused kernel (in-kernel per-token quantize +
+    full-K int8 dot + in-VMEM rescale) vs the XLA chain
+    (quant_int_codes -> _channel_dot): bit-equal at bf16 output."""
+    from fpqvar_tpu.ops.pallas.int8_matmul import (
+        _channel_dot, _fused_ch_matmul_2d)
+
+    key = jax.random.PRNGKey(17)
+    for m, k_dim, n in [(48, 384, 256), (5, 2304, 128), (33, 256, 640)]:
+        x = jax.random.normal(key, (m, k_dim)) * 3.0
+        w = jax.random.normal(jax.random.fold_in(key, 1), (n, k_dim))
+        ac, asc = P.quant_int_codes(x, fmt, group_size=k_dim)
+        pw = P.pack_int_codes(w, fmt, group_size=k_dim)
+        ref = _channel_dot(ac, asc, pw.codes, pw.scales).astype(jnp.bfloat16)
+        out = _fused_ch_matmul_2d(x, pw.codes, pw.scales, fmt=fmt, n=n,
+                                  k_dim=k_dim, out_dtype=jnp.bfloat16,
+                                  interpret=True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_fused_ch_kernel_zero_rows_interpret():
+    """All-zero activation rows (scale guard) and M padding must not
+    perturb neighbouring rows."""
+    from fpqvar_tpu.ops.pallas.int8_matmul import (
+        _channel_dot, _fused_ch_matmul_2d)
+
+    key = jax.random.PRNGKey(19)
+    m, k_dim, n = 7, 256, 128
+    x = jax.random.normal(key, (m, k_dim))
+    x = x.at[2].set(0.0)
+    w = jax.random.normal(jax.random.fold_in(key, 1), (n, k_dim))
+    ac, asc = P.quant_int_codes(x, "fp_e2", group_size=k_dim)
+    pw = P.pack_int_codes(w, "fp_e2", group_size=k_dim)
+    ref = _channel_dot(ac, asc, pw.codes, pw.scales).astype(jnp.bfloat16)
+    out = _fused_ch_matmul_2d(x, pw.codes, pw.scales, fmt="fp_e2", n=n,
+                              k_dim=k_dim, out_dtype=jnp.bfloat16,
+                              interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
