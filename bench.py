@@ -205,7 +205,8 @@ def main():
     args = ap.parse_args()
     if args.b1_only and (args.modes or args.batch):
         ap.error("--b1-only runs a fixed batch-1 mode list (bf16, w4a16, "
-                 "bf16 bracket); it cannot be combined with --modes/--batch")
+                 "int8chs, bf16 bracket); it cannot be combined with "
+                 "--modes/--batch")
     if args.rounds is None:
         args.rounds = 12 if args.full else 8
     t_start = time.perf_counter()
@@ -213,7 +214,7 @@ def main():
         budget = float("inf")
     else:
         budget = args.budget if args.budget is not None else float(
-            os.environ.get("FPQVAR_BENCH_BUDGET", "420"))
+            os.environ.get("FPQVAR_BENCH_BUDGET", "1500"))
 
     def over_budget(reserve=0.0):
         return time.perf_counter() - t_start > budget - reserve
@@ -340,10 +341,14 @@ def main():
         modes = ["bf16", "fake", "int8", "int8ch", "int8chs", "packed",
                  "w4a16"]
     else:
-        # driver-window default: the bf16 bracket + the two modes that
-        # carry the story (int8chs = best throughput recipe mode, w4a16 =
-        # the batch-1 deployment mode).  `--full` for the research suite.
-        modes = ["bf16", "int8chs", "w4a16"]
+        # driver-window default BATCH-8 suite (runs AFTER the batch-1
+        # headline suite, budget permitting): bf16 bracket + int8chs (the
+        # act-quant recipe throughput mode).  w4a16 lives in the batch-1
+        # suite where it actually wins.  Each (mode, batch) is a distinct
+        # ~3-9 min warm-cache program load through the relay — the b1
+        # headline runs first so the driver window always captures it.
+        # `--full` for the research suite.
+        modes = ["bf16", "int8chs"]
 
     # The remote-TPU relay's throughput drifts up to 3-4x over minutes, and
     # at d30 batch 8 only ONE param set + program workspace fits in 16GB
@@ -442,11 +447,41 @@ def main():
                 print(f"# warmed {name}", file=sys.stderr, flush=True)
         return
 
+    # Suite ordering: every NEW (mode, batch) program costs ~3-9 min of
+    # warm-cache load/compile through the relay — the binding constraint
+    # of the driver window (round 2's rc=124).  The plain d30 invocation
+    # therefore runs the BATCH-1 PIPELINED suite FIRST (the headline: the
+    # weight-memory-bound regime where quantization actually wins — w4a16
+    # 1.10x and int8chs ~1.08x in round 2), then spends whatever budget
+    # remains on the batch-8 throughput suite (compute-bound; quantized
+    # modes can only approach bf16 there — roofline in ROUND_NOTES_r02.md).
+    want_b1 = args.b1_only or (
+        args.modes is None and args.batch is None and args.preset == "d30")
+
+    def run_b1():
+        rounds = max(args.rounds, 40) if args.full else args.rounds
+        res, lat = run_suite(["bf16", "w4a16", "int8chs", "bf16/2"],
+                             1, rounds, "b1:", pipelined=True)
+        if not any(k.split("/")[0] != "bf16" for k in res):
+            return None, None   # budget ran out before any quant leg
+        return res, lat
+
+    b1 = b1_lat = None
+    if want_b1 and not args.full:
+        b1, b1_lat = run_b1()   # headline suite first in the driver window
+
     if args.b1_only:
+        results, ips_bf16, drift = {}, None, None
+    elif want_b1 and not args.full and over_budget(reserve=700):
+        # not enough budget left for two fresh batch-8 programs
+        print(f"# batch-{batch} suite SKIPPED (wall-clock budget "
+              f"{budget:.0f}s exceeded)", file=sys.stderr, flush=True)
         results, ips_bf16, drift = {}, None, None
     else:
         results = run_suite(modes, batch, args.rounds, "")
         ips_bf16, drift = bf16_stats(results)
+    if want_b1 and args.full:
+        b1, b1_lat = run_b1()   # research suite keeps batch-8 first
     quant = {k: v for k, v in results.items()
              if k.split("/")[0] != "bf16"}
     if quant:
@@ -458,51 +493,27 @@ def main():
     detail = ", ".join(f"{k}={v:.3f}" for k, v in results.items())
     res = "512x512" if args.preset == "d36" else "256x256"
 
-    # Deployment phase: the plain d30 invocation ALSO measures batch-1
-    # latency (bf16 vs w4a16, bracketed).  Batch 8 is compute-bound —
-    # quantization cannot beat bf16 there by more than noise (roofline in
-    # ROUND_NOTES_r02.md) — while batch 1 is weight-memory-bound, where
-    # int8 weight codes halve the HBM traffic that sets the step time.
-    # The headline ratio is the batch-1 deployment win; the full batch-8
-    # suite stays in the metric string.
-    b1 = None
-    want_b1 = args.b1_only or (
-        args.modes is None and args.batch is None and args.preset == "d30")
-    # the b1 suite needs ~90s warm-cache (3 modes x [device_put + 3-4
-    # pipelined windows + sync rounds]); skip it when the budget can't fit
-    # it and fall back to the batch-8 headline
-    if want_b1 and not args.b1_only and over_budget(reserve=100):
-        print(f"# b1 suite SKIPPED (wall-clock budget {budget:.0f}s "
-              f"exceeded); headline falls back to batch-{batch}",
-              file=sys.stderr, flush=True)
-        want_b1 = False
-    if want_b1:
-        b1_rounds = max(args.rounds, 40) if args.full else args.rounds
-        b1, b1_lat = run_suite(["bf16", "w4a16", "bf16/2"],
-                               1, b1_rounds, "b1:", pipelined=True)
-        if "w4a16" not in b1:  # budget ran out inside the suite
-            b1 = None
-        else:
-            b1_bf16, b1_drift = bf16_stats(b1)
-            detail += ("; batch-1 pipelined: "
-                       + ", ".join(f"{k}={v:.3f}" for k, v in b1.items())
-                       + f", b1_bf16_drift={b1_drift}"
-                       + "; batch-1 per-call-sync: "
-                       + ", ".join(f"{k}={v:.3f}"
-                                   for k, v in b1_lat.items()))
-
     if b1 is not None:
-        headline_name = "w4a16 @ batch 1"
-        value = b1["w4a16"]
+        b1_bf16, b1_drift = bf16_stats(b1)
+        detail += ("; batch-1 pipelined: "
+                   + ", ".join(f"{k}={v:.3f}" for k, v in b1.items())
+                   + f", b1_bf16_drift={b1_drift}"
+                   + "; batch-1 per-call-sync: "
+                   + ", ".join(f"{k}={v:.3f}" for k, v in b1_lat.items()))
+        b1_quant = {k: v for k, v in b1.items()
+                    if k.split("/")[0] != "bf16"}
+        b1_best, b1_val = max(b1_quant.items(), key=lambda t: t[1])
+        headline_name = f"{b1_best} @ batch 1"
+        value = b1_val
         vs = value / b1_bf16
         regime = (f"headline = batch-1 pipelined serving throughput "
                   f"(weight-memory-bound regime, where low-bit weights "
                   f"win; queue depth 10 overlaps the ~40ms per-dispatch "
-                  f"relay RTT that per-call sync would charge); batch-"
-                  f"{batch}"
-                  + (f" throughput best mode {best_name}="
+                  f"relay RTT that per-call sync would charge)"
+                  + (f"; batch-{batch} throughput best mode {best_name}="
                      f"{ips_fp4 / ips_bf16:.3f}x bf16 (compute-bound)"
-                     if ips_bf16 else " suite skipped (--b1-only)"))
+                     if ips_bf16 else
+                     f"; batch-{batch} suite skipped"))
     else:
         headline_name = best_name
         value = ips_fp4

@@ -272,9 +272,11 @@ def _fused_ch_kernel(x_ref, wc_ref, ws_ref, out_ref, codes_ref, asc_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("fmt", "n", "k_dim",
-                                             "out_dtype", "interpret"))
+                                             "out_dtype", "interpret",
+                                             "block_m"))
 def _fused_ch_matmul_2d(x, wcodes, wscales, *, fmt, n, k_dim,
-                        out_dtype=jnp.bfloat16, interpret=False):
+                        out_dtype=jnp.bfloat16, interpret=False,
+                        block_m=None):
     """x [M, K] (bf16/f32, post rotate+smooth), wcodes [K, N] int8,
     wscales [1, N] f32 (CODE_MULT folded) -> [M, N] out_dtype.
 
@@ -298,8 +300,24 @@ def _fused_ch_matmul_2d(x, wcodes, wscales, *, fmt, n, k_dim,
     bn = 128 * _pick(n, 128, (5, 4, 3, 2, 1))
     bkg = _pick(k_dim, 128, (5, 4, 3, 2, 1))
     bk = 128 * bkg
-    # VMEM budget: x [bm,K] bf16 + codes [bm,K] int8 + acc [bm,bn] i32
-    bm = 256 if k_dim > 4096 else 512
+    # adaptive M-tile under a ~10MB VMEM budget (v5e has 16MB/core and
+    # Mosaic double-buffers pipelined blocks): per row the kernel holds
+    # x [K] (x2 buffering), codes [K] int8, acc [bn] i32 + out [bn] bf16
+    # (x2); plus w tiles [bk, bn] int8 (x2) shared across rows
+    xbytes = 4 if x.dtype == jnp.float32 else 2
+    per_row = k_dim * (2 * xbytes + 1) + bn * (4 + 2 * 2) + 4
+    fixed = 2 * bk * bn + 2 * bn * 4
+    # empirical: Mosaic's scoped-vmem demand measures ~2x this estimate
+    # (extra pipeline copies); 6MB of modeled budget keeps the observed
+    # demand inside the 16MB hardware limit at every recipe shape
+    budget = 6 * 2**20 - fixed
+    bm = 32
+    for cand in (1024, 512, 256, 128, 64):
+        if cand * per_row <= budget:
+            bm = cand
+            break
+    if block_m is not None:
+        bm = block_m
     m_pad = _round_up(max(m, 32), bm) if m > bm else _round_up(max(m, 32), 32)
     bm_eff = min(bm, m_pad)
     if m_pad != m:
