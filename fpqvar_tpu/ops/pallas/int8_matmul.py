@@ -354,9 +354,15 @@ def _fused_ch_matmul_2d(x, wcodes, wscales, *, fmt, n, k_dim,
 
 
 #: opt-in switch for the fused quantize+dot+rescale per-channel kernel
-#: (round-3 two-phase design).  Measured on TPU before flipping the
-#: default; the jnp/XLA chain stays as fallback and parity reference.
-USE_FUSED_CH_KERNEL = True
+#: (round-3 two-phase design).  Default OFF — FOURTH negative result for
+#: hand-scheduling against XLA fusion on v5e: bit-parity everywhere, but
+#: in a drift-free bracketed window (bf16-dot 56.2/56.9 TFLOP/s) the
+#: kernel ran 58.5 TOP/s vs the XLA quantize->dot->rescale chain's 74.4
+#: (m4096 k1920 n5760; bm=512 exceeds scoped VMEM with the in-kernel
+#: [bm, K] x + codes residents, and bm=256 starves the MXU pipeline).
+#: Notably the XLA int8ch chain ran 1.32x the bf16 dot IN-WINDOW — the
+#: chain, not a Pallas rewrite, is the speed path on this stack.
+USE_FUSED_CH_KERNEL = False
 
 
 def _fused_ch_usable(n, k_dim, interpret=False):
