@@ -354,13 +354,21 @@ def init_inception_params(key, num_classes: int = NUM_CLASSES) -> Dict:
     for (name, shp), k in zip(sorted(shapes.items()), ks):
         o = shp[0]
         fan_in = shp[1] * shp[2] * shp[3]
+        # He init (sqrt(2/fan_in)): each conv+ReLU halves variance, and
+        # this net stacks ~94 of them — 1/sqrt(fan_in) init decayed pool3
+        # features to ~1e-4 with 1e-6 cross-image std (constant features
+        # -> FID 0 / IS 1 for ANY input sets, which silently voided
+        # random-feature studies)
         sd[name + ".conv.weight"] = np.asarray(
-            jax.random.normal(k, shp) / np.sqrt(fan_in), np.float32)
+            jax.random.normal(k, shp) * np.sqrt(2.0 / fan_in), np.float32)
         sd[name + ".bn.weight"] = np.ones(o, np.float32)
         sd[name + ".bn.bias"] = np.zeros(o, np.float32)
         sd[name + ".bn.running_mean"] = np.zeros(o, np.float32)
         sd[name + ".bn.running_var"] = np.ones(o, np.float32)
+    # logits std ~ |pool3| * sqrt(2048) * scale: 8/45 puts it at ~3 so the
+    # softmax is non-uniform and IS varies with the input set
     sd["fc.weight"] = np.asarray(
-        jax.random.normal(ks[-1], (num_classes, 2048)) / 45.0, np.float32)
+        jax.random.normal(ks[-1], (num_classes, 2048)) * (8.0 / 45.0),
+        np.float32)
     sd["fc.bias"] = np.zeros(num_classes, np.float32)
     return convert_inception_state_dict(sd)
