@@ -193,6 +193,17 @@ def main():
         "fp4_galt": (fp4.replace(fc2_format="fp_e2"), galt_pair),
         "fp4_full": (fp4, galt_pair),            # + fc2 dual-grid
         "fp6_full": (fpqvar_w6a6(), galt_pair),
+        # sensitivity controls — stages that SHOULD damage quality, proving
+        # the metric detects quantization harm at this scale (the paper's
+        # INT4 RTN row is the catastrophic baseline, FID 38.6 vs 1.98):
+        "fp4_pertensor": (fp4.replace(
+            rotate=False, block_rotate=False, transform=False,
+            weight_quant="per_tensor", act_quant="per_tensor",
+            fc2_format="fp_e2"), None),
+        "int4_rtn": (QuantConfig(
+            enabled=True, int_quant=True, w_bit=4, a_bit=4,
+            weight_quant="per_channel", act_quant="per_token",
+            act_sym=True), None),
     }
     if args.stages:
         keep = args.stages.split(",")
@@ -214,8 +225,14 @@ def main():
     ref_recon = reconstruct(vae_p, cfg, ref_imgs)
     ref_feats, _ = features(ref_recon)
     ref_stats = M.FIDStatistics.from_features(ref_feats.astype(np.float64))
-    print(f"[{time.time()-t0:6.1f}s] reference set: {ref_recon.shape}",
-          flush=True)
+    # noise floor: FID between two halves of the reference set itself —
+    # stage deltas below this are measurement noise, not quality signal
+    half = args.eval_n // 2
+    fid_floor = M.FIDStatistics.from_features(
+        ref_feats[:half].astype(np.float64)).frechet_distance(
+        M.FIDStatistics.from_features(ref_feats[half:].astype(np.float64)))
+    print(f"[{time.time()-t0:6.1f}s] reference set: {ref_recon.shape}, "
+          f"same-set split FID floor {fid_floor:.4f}", flush=True)
 
     # ---- generate + score --------------------------------------------------
     eval_labels = np.arange(args.eval_n, dtype=np.int32) % args.classes
@@ -246,6 +263,7 @@ def main():
                    "img_size": img_size, "patch_nums": list(pn)},
         "note": "random-weight Inception features (relative metric); "
                 "reference set = VQVAE reconstructions of held-out data",
+        "fid_noise_floor_same_set_split": round(float(fid_floor), 4),
         "results": results,
         "wall_s": round(time.time() - t0, 1),
     }
