@@ -460,7 +460,11 @@ def main():
 
     def run_b1():
         rounds = max(args.rounds, 40) if args.full else args.rounds
-        res, lat = run_suite(["bf16", "w4a16", "int8chs", "bf16/2"],
+        # w4a16 FIRST: bf16 legs are never budget-skipped, so this order
+        # guarantees the (quant, bf16) pair needed for vs_baseline is
+        # captured even if the window dies right after two legs; int8chs
+        # (the recipe mode) rides whatever budget remains
+        res, lat = run_suite(["w4a16", "bf16", "int8chs", "bf16/2"],
                              1, rounds, "b1:", pipelined=True)
         if not any(k.split("/")[0] != "bf16" for k in res):
             return None, None   # budget ran out before any quant leg
