@@ -31,7 +31,7 @@ rc=124).  The default now measures the four modes that carry the story
 (bf16 bracket, int8chs = the throughput recipe mode, w4a16 = the
 deployment mode) at 8 rounds plus a short batch-1 pipelined suite, and a
 wall-clock
-guard (--budget, default 420s) skips remaining work and emits the JSON
+guard (--budget, default 1500s) skips remaining work and emits the JSON
 line with whatever completed.  `--full` restores the 8-mode research
 suite with no budget cap.
 """
@@ -191,7 +191,7 @@ def main():
                     help="research suite: all modes, 12 rounds, 40-round "
                          "batch-1 legs, no wall-clock budget")
     ap.add_argument("--budget", type=float, default=None,
-                    help="wall-clock budget in seconds (default 420, or "
+                    help="wall-clock budget in seconds (default 1500, or "
                          "$FPQVAR_BENCH_BUDGET; --full disables). When "
                          "exceeded, remaining modes are skipped and the "
                          "JSON line reports whatever completed")
@@ -459,6 +459,13 @@ def main():
         args.modes is None and args.batch is None and args.preset == "d30")
 
     def run_b1():
+        if over_budget(reserve=60):
+            # nothing has run yet is no excuse: a fresh bf16 batch-1
+            # program is itself a multi-minute compile, and with every
+            # quant leg due to be skipped the whole suite would be wasted
+            print(f"# b1 suite SKIPPED (wall-clock budget {budget:.0f}s "
+                  f"exceeded before start)", file=sys.stderr, flush=True)
+            return None, None
         rounds = max(args.rounds, 40) if args.full else args.rounds
         # w4a16 FIRST: bf16 legs are never budget-skipped, so this order
         # guarantees the (quant, bf16) pair needed for vs_baseline is

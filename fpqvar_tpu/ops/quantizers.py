@@ -305,16 +305,20 @@ def fake_quant_kv(x: Array, qcfg) -> Array:
         return fake_quant_dual(x, fmt, granularity="per_token")
     gran = "per_group" if fmt in ("fp_e1", "fp_e2", "fp_e3") else "per_token"
     if gran == "per_group" and qcfg.kv_ref_grouping:
-        # reference-compat fp4 grouping: reshape the WHOLE tensor to
-        # (-1, 128) like `fp_quant_e2_per_group_cuda` (`quant_utils.py:
-        # 313-330`) — scale groups span 2 consecutive tokens at head_dim
-        # 64.  Requires total elements % 128 == 0 (the reference has the
-        # same constraint).
-        shape = x.shape
-        flat = x.reshape(-1, qcfg.group_size)
+        # reference-compat fp4 grouping: the reference flattens its
+        # head-major [B, H, L, c] cache to (-1, 128)
+        # (`fp_quant_e2_per_group_cuda`, `quant_utils.py:313-330`), so a
+        # scale group spans 2 consecutive TOKENS of one head at c=64.
+        # The model passes token-major [..., T, H, c] (models/var.py
+        # `_q_merged`): swap to head-major before the flat reshape so the
+        # element order — and therefore every group — matches the
+        # reference bit-wise.  Requires total elements % 128 == 0 (the
+        # reference has the same constraint).
+        x_hm = jnp.swapaxes(x, -3, -2)             # [..., H, T, c]
+        flat = x_hm.reshape(-1, qcfg.group_size)
         out = fake_quant_fp(flat, fmt, granularity="per_group",
                             group_size=qcfg.group_size)
-        return out.reshape(shape)
+        return jnp.swapaxes(out.reshape(x_hm.shape), -3, -2)
     # fp4 KV grouping (default): head_dim is 64 (< default 128); the
     # reference flattens [B,H,L,c] and groups by 128 across heads/tokens.
     # We group per 64-wide head_dim rows instead, which is both saner and

@@ -18,8 +18,11 @@ except ModuleNotFoundError as e:  # pragma: no cover - env without orbax
         # swallowed — it would surface later as a misleading
         # "cannot import name auto_resume" in scripts/train.py
         raise
+    import sys as _sys
+
     print("[warn] orbax not installed; checkpoint/resume disabled "
-          "(fpqvar_tpu.train.resume unavailable)", flush=True)
+          "(fpqvar_tpu.train.resume unavailable)", file=_sys.stderr,
+          flush=True)
 from fpqvar_tpu.train.trainer import (  # noqa: F401
     TrainState,
     cross_entropy_loss,

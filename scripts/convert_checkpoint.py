@@ -34,6 +34,9 @@ def main():
     p.add_argument("--block_rotate", action="store_true")
     p.add_argument("--transform", action="store_true")
     p.add_argument("--best-s-dir", type=str, default=None)
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16-cast unquantized f32 leaves even for plain "
+                        "(no-transform) conversions")
     args = p.parse_args()
 
     from _common import model_config
@@ -59,13 +62,16 @@ def main():
     # evaluate.py's --var-ckpt path: quantize_var_params preserves dtype of
     # non-quantized leaves (embeddings, head, biases), so a packed ckpt
     # written from f32 would run with 2x the HBM and numerically diverge
-    # from the direct --var-ckpt route.
-    import jax
-    import jax.numpy as jnp
+    # from the direct --var-ckpt route.  Plain conversions (no transform)
+    # keep f32 unless --bf16: lossless torch->npz interchange stays
+    # lossless by default.
+    if args.bf16 or args.quant or args.rotate or args.transform:
+        import jax
+        import jax.numpy as jnp
 
-    var_p = jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16)
-        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, var_p)
+        var_p = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, var_p)
 
     if args.quant or args.rotate or args.transform:
         qcfg = QuantConfig(

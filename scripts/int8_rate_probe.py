@@ -46,7 +46,11 @@ def timed(fn, *args, iters, reps=5):
     def bump(a):
         if a.dtype == jnp.int8:
             return a ^ jnp.ones_like(a)
-        return a * (1.0 + 1e-6)
+        # bf16 CAVEAT: *(1+1e-6) rounds back to the SAME bf16 bits — a
+        # no-op bump lets the relay memoize the whole rep (round-3 review
+        # finding).  1+2^-7 is exactly representable in bf16 and flips
+        # every nonzero element; 4% drift over 5 reps doesn't change rates
+        return a * jnp.asarray(1.0078125, a.dtype)
 
     def drain(o):
         return [np.asarray(x) for x in jax.tree_util.tree_leaves(o)]
@@ -171,7 +175,11 @@ def pallas_bf16(m, n, k, bm, bn, bk):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--iters", type=int, default=30)
+    # 100+ iters: at ~1ms/iter, 30 iters (~30ms) sits exactly at the
+    # relay's ~40ms RTT floor — rates become indistinguishable from a
+    # memoized/latency-bound fetch.  100 iters puts real compute at 3-4x
+    # the RTT.
+    ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--shapes", type=str, default="4096x1920x5760,"
                     "4096x4096x4096")
     args = ap.parse_args()

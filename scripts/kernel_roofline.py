@@ -63,7 +63,10 @@ def timed(fn, *args, iters):
     def bump(a):
         if a.dtype == jnp.int8:
             return a ^ jnp.ones_like(a)          # flip bit, still valid
-        return a * (1.0 + 1e-6)
+        # 1+2^-7: exactly representable in bf16 so the bump actually
+        # changes the uploaded bits (*(1+1e-6) rounds back to the same
+        # bf16 value — a no-op bump lets the relay memoize the rep)
+        return a * jnp.asarray(1.0078125, a.dtype)
 
     def drain(o):
         # block_until_ready through the relay does NOT guarantee execution

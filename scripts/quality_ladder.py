@@ -176,7 +176,6 @@ def main():
                                      epochs=args.galt_epochs,
                                      max_samples_per_step=128)
     galt_pair = (best["mat_qkv"], best["fc1"])
-    ones = (np.ones_like(best["mat_qkv"]), np.ones_like(best["fc1"]))
     print(f"[{time.time()-t0:6.1f}s] GALT trained "
           f"(s range {best['mat_qkv'].min():.3f}..{best['mat_qkv'].max():.3f})",
           flush=True)

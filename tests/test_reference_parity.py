@@ -501,20 +501,27 @@ def test_kv4_reference_grouping_parity(ref):
     from fpqvar_tpu.config import QuantConfig
     from fpqvar_tpu.ops import quantizers as Q
 
-    cache = _rand((2, 4, 6, 64), seed=77, scale=0.7)  # B*H*L*64 % 128 == 0
-    want = ref.qu_fork.fp_quant_e2_per_group_cuda(cache.clone(), 4).numpy()
+    # reference cache layout: HEAD-major [B, H, L, c] (`basic_var.py:100`)
+    cache_bhlc = _rand((2, 4, 6, 64), seed=77, scale=0.7)  # numel % 128 == 0
+    want = ref.qu_fork.fp_quant_e2_per_group_cuda(
+        cache_bhlc.clone(), 4).numpy()
 
+    # the model passes TOKEN-major [B, T, H, c] (models/var.py _q_merged);
+    # fake_quant_kv must internally restore the reference's head-major
+    # element order so groups span consecutive tokens of one head
+    cache_blhc = cache_bhlc.numpy().transpose(0, 2, 1, 3)
     compat = QuantConfig(enabled=True, kv_bit=4, kv_ref_grouping=True)
-    got = np.asarray(Q.fake_quant_kv(jnp.asarray(cache.numpy()), compat))
-    np.testing.assert_array_equal(got, want)
+    got = np.asarray(Q.fake_quant_kv(jnp.asarray(cache_blhc), compat))
+    np.testing.assert_array_equal(got.transpose(0, 2, 1, 3), want)
 
     # default grouping (per 64-wide head_dim row): different scale groups,
     # hence different values — but the same grid: error stays within the
     # coarser of the two quantization steps on this data
     default = QuantConfig(enabled=True, kv_bit=4)
-    got_d = np.asarray(Q.fake_quant_kv(jnp.asarray(cache.numpy()), default))
+    got_d = np.asarray(Q.fake_quant_kv(jnp.asarray(cache_blhc), default))
+    got_d = got_d.transpose(0, 2, 1, 3)
     assert np.abs(got_d - want).max() > 0.0          # genuinely different
-    err_vs_ref = float(np.mean((got_d - cache.numpy()) ** 2))
-    err_ref = float(np.mean((want - cache.numpy()) ** 2))
+    err_vs_ref = float(np.mean((got_d - cache_bhlc.numpy()) ** 2))
+    err_ref = float(np.mean((want - cache_bhlc.numpy()) ** 2))
     # finer groups (64 <= 128 elements) should not be materially worse
     assert err_vs_ref <= err_ref * 1.5, (err_vs_ref, err_ref)
