@@ -2,13 +2,16 @@
 """int8 MXU rate ceiling probe (round 3).
 
 Question (VERDICT r2 #2): through this jax/XLA/Mosaic stack on v5e, can ANY
-int8 matmul formulation exceed the bf16 GEMM rate at VAR-d30 shapes?  The
-v5e datasheet says 394 int8 TOPS vs 197 bf16 TFLOPS (2x), but round 2
-measured the XLA int8 full-K dot at RATE PARITY with bf16 (~101 vs ~101,
-kernel_roofline.py) — if that parity is the stack's true ceiling, then a
-batch-8 quantized mode can only tie bf16, never beat it, and the honest
-target moves to removing the act-quant chain overhead (parity) plus the
-batch-1/capacity wins.
+int8 matmul formulation exceed the bf16 GEMM rate at VAR-d30 shapes?
+
+ANSWER (corrected harness, 2026-08-19): YES — the XLA int8 full-K dot runs
+180-193 TOP/s vs bf16's 120-129 TFLOP/s (1.50x) once the measurement is
+honest.  Round 2's "rate parity" was a double artifact: loop bodies that
+consumed only y[0, 0] (XLA dead-code-eliminated the matmul; legs measured
+PAST the chip's peak at the relay RTT floor) and a bf16 input bump that
+rounds to a bit-identical value (the relay memoized whole reps).  See
+loop()'s docstring; kernel_roofline.py carries the corrected canonical
+numbers including the full int8ch chain (1.36x bf16 incl. act quantize).
 
 Sweeps:
   bf16        — XLA jnp.dot control
@@ -70,19 +73,30 @@ def timed(fn, *args, iters, reps=5):
 
 
 def loop(dot, iters):
-    """Chain iters dependent dots of a (lhs, rhs) pair."""
+    """Chain iters dependent dots of a (lhs, rhs) pair.
+
+    CRITICAL: the carry must consume EVERY output element.  An earlier
+    version fed back only ``y[0, 0]`` — XLA dead-code-eliminated the
+    whole [M, N] matmul into one row-by-column vector dot, and the legs
+    "measured" 313-392 T(FL)OP/s (PAST the chip's 197/394 peaks) at
+    exactly the relay's RTT floor.  ``y.mean(axis=1)`` is a full reduce
+    over the output, so no element can be skipped, and the [M, 1] result
+    feeds the next iteration's input.
+    """
 
     @jax.jit
     def run(a, b):
         def body(i, carry):
             aa, s = carry
             y = dot(aa, b)
-            feed = (1e-12 * y[0, 0].astype(jnp.float32))
+            feed = y.astype(jnp.float32).mean(axis=1, keepdims=True)  # [M,1]
             if aa.dtype == jnp.int8:
-                aa = aa ^ (feed > 1e30).astype(jnp.int8)  # no-op dependency
+                # parity of a data-dependent bit: keeps codes valid while
+                # making every iteration depend on the full previous output
+                aa = aa ^ (feed.astype(jnp.int32) & 1).astype(jnp.int8)
             else:
-                aa = aa + feed.astype(aa.dtype)
-            return (aa, s + y[0, 0].astype(jnp.float32))
+                aa = aa + (1e-12 * feed).astype(aa.dtype)
+            return (aa, s + feed[0, 0])
 
         return jax.lax.fori_loop(0, iters, body, (a, 0.0))[1]
 

@@ -13,31 +13,32 @@ v5e peak (197 bf16 / 394 int8 TOPS) for:
                  no per-group scaling: NOT a valid quantization, just the
                  hardware's achievable int8 rate through this stack)
 
-Measured (v5e via axon relay, m=4096 k=1920 n=5760, 30 in-loop iters;
-the timing window must FETCH the result: block_until_ready through the
-relay returns before execution).  Ranges over several windows across
-2026-08-17/18 — individual legs drift with the relay, so only the
-ORDERING and the grouped-vs-full-K gap are stable:
+MEASUREMENT-HISTORY WARNING: every number this file reported before
+round 3 was corrupted by TWO artifacts fixed on 2026-08-19 — (a) the
+loop bodies consumed only y[0, 0], letting XLA dead-code-eliminate the
+matmul into one row-by-column dot (legs "measured" past the chip's peak
+at the relay's ~40 ms RTT floor); (b) the bf16 input "bump" *(1+1e-6)
+rounds back to the same bf16 bits, letting the relay memoize entire
+reps.  Round-2's "int8 == bf16 rate parity" conclusion was an artifact.
 
-  bf16 GEMM      :  80-105 TFLOP/s (40-53% of bf16 peak)
-  grouped int8   :  59-72  TOP/s   (15-18% of int8 peak)  <- consistently lowest
-  int8 full-K dot:  70-107 TOP/s   (18-27% of int8 peak)
+CORRECTED canonical run (v5e, m=4096 k=1920 n=5760, 100 in-loop iters,
+full-output consume, median of 5 bumped windows, 2026-08-19):
 
-Canonical median-of-5-windows run (2026-08-18, after this script switched
-to per-leg median timing): bf16 100.9 TFLOP/s vs int8 full-K 101.6 TOP/s
-— exact rate parity; grouped int8 71.6 (0.70x of full-K); full int8ch
-chain incl. act quantize 72.2.
+  bf16 GEMM        : 114.3 TFLOP/s (58.0% of bf16 peak)
+  grouped int8     : 112.4 TOP/s   (28.5% of int8 peak)  — bf16 parity
+  int8 full-K dot  : 165.3 TOP/s   (42.0%)               — 1.45x bf16
+  int8ch dot+scale : 164.2 TOP/s   — the outer rescale is ~free
+  int8ch Pallas krn: 165.3 TOP/s   [bit-exact vs mirror]
+  int8ch FULL chain: 156.0 TOP/s   — incl. act quantize, 1.36x bf16
 
-Reading: through this stack the int8 full-K dot runs at roughly the SAME
-absolute rate as bf16 (their ranges overlap; the early "1.33x int8"
-reading came from a slow bf16 window) — the MXU's nominal 2x int8 rate is
-not realized, but int8 holds rate with half the weight bytes.  Per-group-
-128 scaling is consistently ~0.6-0.75x of full-K: each K=128 group adds
-~4 VPU passes over the [bm, bn] partial (f32 convert, *sa, *sw,
-accumulate), which costs more VPU time than the group's MXU dot.
-Per-group scaling is a quality knob of the recipe; the speed-side
-conclusion is the int8ch backend (per-channel weight / per-token act
-scales hoisted out of the contraction entirely -> one full-K int8 dot).
+Reading: the MXU's int8 advantage IS real through this stack (1.45x the
+bf16 rate at full K; the nominal 2x is not reached at 42% util), and the
+per-token act-quant chain costs only ~6%.  Per-group-128 scaling gives
+up the int8 advantage (112 ~= bf16's 114) but is NOT slower than bf16 —
+the quality knob is free, not a 0.6x penalty as previously reported.
+The end-to-end batch-8 gap (int8chs 0.889x bf16, bench.py bracketed) is
+therefore NOT in the GEMM chain; see ROUND_NOTES_r03.md for the
+per-scale attribution.
 """
 import argparse
 import os
@@ -96,7 +97,9 @@ def main():
     ap.add_argument("--m", type=int, default=4096)
     ap.add_argument("--k", type=int, default=1920)
     ap.add_argument("--n", type=int, default=5760)
-    ap.add_argument("--iters", type=int, default=30)
+    # 100+ iters: 30 iters of a ~1ms dot (~30ms) sits at the relay's
+    # ~40ms RTT floor, where rates are indistinguishable from latency
+    ap.add_argument("--iters", type=int, default=100)
     args = ap.parse_args()
     m, k, n, iters = args.m, args.k, args.n, args.iters
     flops = 2.0 * m * k * n
@@ -111,12 +114,18 @@ def main():
     pw = P.pack_int_codes(
         jax.random.normal(jax.random.fold_in(key, 2), (n, k)), "fp_e2")
 
+    # EVERY loop body must consume the FULL [M, N] output (mean over N):
+    # feeding back only y[0, 0] let XLA dead-code-eliminate the matmul
+    # into one row-by-column vector dot — legs "measured" past the chip's
+    # peak at exactly the relay's RTT floor (round-3 finding; Pallas legs
+    # were unaffected, custom calls are opaque to DCE).
     @jax.jit
     def bf16_loop(x, w):
         def body(i, carry):
             xx, s = carry
             y = jnp.dot(xx, w, preferred_element_type=jnp.float32)
-            return (xx + (1e-12 * y[0, 0]).astype(xx.dtype), s + y[0, 0])
+            feed = y.mean(axis=1, keepdims=True)          # full consume
+            return (xx + (1e-12 * feed).astype(xx.dtype), s + feed[0, 0])
         return jax.lax.fori_loop(0, iters, body, (x, 0.0))[1]
 
     @jax.jit
@@ -125,7 +134,8 @@ def main():
             s_in, acc = carry
             y = _int8_matmul_2d(ac, s_in, wc, ws, group_size=128,
                                 n=n, k_dim=k)
-            return (s_in * (1.0 + 1e-12 * y[0, 0]), acc + y[0, 0])
+            feed = y.mean(axis=1, keepdims=True)
+            return (s_in * (1.0 + 1e-12 * feed), acc + feed[0, 0])
         return jax.lax.fori_loop(0, iters, body, (asc, 0.0))[1]
 
     @jax.jit
@@ -135,12 +145,12 @@ def main():
             y = jax.lax.dot_general(
                 aa, wc, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
-            # real loop-carried dependency: flip the sign of one lane based
-            # on the previous dot so XLA cannot hoist the dot out of the
-            # loop (x & 0 == 0 folds away — it must feed the next operand)
-            return (aa ^ (y[:1, :1] % 2).astype(jnp.int8),
-                    acc + y[0, 0])
-        return jax.lax.fori_loop(0, iters, body, (ac, jnp.int32(0)))[1]
+            # full-output consume + loop-carried dependency: every code
+            # flips a data-dependent bit of the previous output's row mean
+            feed = y.astype(jnp.float32).mean(axis=1, keepdims=True)
+            return (aa ^ (feed.astype(jnp.int32) % 2).astype(jnp.int8),
+                    acc + feed[0, 0])
+        return jax.lax.fori_loop(0, iters, body, (ac, jnp.float32(0)))[1]
 
     # the int8ch building blocks at full fidelity: dot + outer rescale,
     # and the complete act-quantize + dot + rescale chain (what the model
@@ -158,7 +168,8 @@ def main():
         def body(i, carry):
             s_in, acc = carry
             y = _channel_dot(ac, s_in, wc, ws)
-            return (s_in * (1.0 + 1e-12 * y[0, 0]), acc + y[0, 0])
+            feed = y.mean(axis=1, keepdims=True)
+            return (s_in * (1.0 + 1e-12 * feed), acc + feed[0, 0])
         return jax.lax.fori_loop(0, iters, body, (asc, 0.0))[1]
 
     @jax.jit
@@ -168,8 +179,8 @@ def main():
         def body(i, carry):
             s_in, acc = carry
             y = _int8ch_matmul_2d(ac, s_in, wc, ws, n=n, k_dim=k)
-            return (s_in * (1.0 + 1e-12 * y[0, 0].astype(jnp.float32)),
-                    acc + y[0, 0].astype(jnp.float32))
+            feed = y.astype(jnp.float32).mean(axis=1, keepdims=True)
+            return (s_in * (1.0 + 1e-12 * feed), acc + feed[0, 0])
         return jax.lax.fori_loop(0, iters, body, (asc, 0.0))[1]
 
     @jax.jit
@@ -180,7 +191,8 @@ def main():
             xx, acc = carry
             a, s = P.quant_int_codes(xx.astype(jnp.float32), "fp_e2", k)
             y = _channel_dot(a, s, wc, ws)
-            return (xx + (1e-12 * y[0, 0]).astype(xx.dtype), acc + y[0, 0])
+            feed = y.mean(axis=1, keepdims=True)
+            return (xx + (1e-12 * feed).astype(xx.dtype), acc + feed[0, 0])
         return jax.lax.fori_loop(0, iters, body, (x, 0.0))[1]
 
     peak_bf16, peak_int8 = 197e12, 394e12

@@ -234,6 +234,18 @@ def main():
           f"same-set split FID floor {fid_floor:.4f}", flush=True)
 
     # ---- generate + score --------------------------------------------------
+    # metric-sensitivity control: pure uniform noise must score FAR above
+    # the same-set floor, proving the feature space detects distribution
+    # damage at this image size (stage rows at the floor then honestly
+    # read "no measurable harm", not "blind metric")
+    noise_imgs = np.random.default_rng(123).uniform(
+        size=ref_recon.shape).astype(np.float32)
+    nf, _ = features(noise_imgs)
+    fid_noise = M.FIDStatistics.from_features(
+        nf.astype(np.float64)).frechet_distance(ref_stats)
+    print(f"[{time.time()-t0:6.1f}s] noise-control FID {fid_noise:.3f} "
+          f"(floor {fid_floor:.4f})", flush=True)
+
     eval_labels = np.arange(args.eval_n, dtype=np.int32) % args.classes
     results = {}
     for name, (qcfg, g) in stages.items():
@@ -263,6 +275,7 @@ def main():
         "note": "random-weight Inception features (relative metric); "
                 "reference set = VQVAE reconstructions of held-out data",
         "fid_noise_floor_same_set_split": round(float(fid_floor), 4),
+        "fid_noise_control_uniform_images": round(float(fid_noise), 4),
         "results": results,
         "wall_s": round(time.time() - t0, 1),
     }
