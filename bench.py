@@ -306,6 +306,13 @@ def main():
         # (tests/test_recipe_ablation.py ladder).
         "int8chs": base.replace(backend="int8", weight_quant="per_channel",
                                 act_quant="per_token", fc2_format="fp_e2"),
+        # diagnostic leg: int8chs minus the online rotation + GALT multiply
+        # (weights quantized UNROTATED) — int8chs vs int8chsnr isolates what
+        # the online recipe transforms cost end-to-end at a given batch
+        "int8chsnr": base.replace(backend="int8",
+                                  weight_quant="per_channel",
+                                  act_quant="per_token", fc2_format="fp_e2",
+                                  rotate=False, transform=False),
         "packed": base.replace(backend="packed"),
         # weights-only FP4 (W4A16, config.fpqvar_w4a16): int8 weight codes
         # per-channel, acts stay bf16 — no act-quant chain, half the weight

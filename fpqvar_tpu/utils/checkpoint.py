@@ -257,8 +257,14 @@ def _flatten(tree, prefix=""):
     return out
 
 
-def save_params(path: str, tree) -> None:
-    np.savez_compressed(path, **_flatten(tree))
+def save_params(path: str, tree, compress: bool = False) -> None:
+    """Uncompressed by default: bf16/f32 weights and int8 codes are
+    near-incompressible, and zlib runs ~10 MB/s single-threaded — a d30
+    param tree took minutes to save and seconds to write raw.  Load speed
+    matters too (bench.py's disk cache loads inside the driver's timed
+    window).  ``compress=True`` restores np.savez_compressed for artifacts
+    where disk size wins (archival checkpoints)."""
+    (np.savez_compressed if compress else np.savez)(path, **_flatten(tree))
 
 
 def load_params(path: str) -> dict:

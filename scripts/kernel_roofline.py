@@ -195,6 +195,47 @@ def main():
             return (xx + (1e-12 * feed).astype(xx.dtype), acc + feed[0, 0])
         return jax.lax.fori_loop(0, iters, body, (x, 0.0))[1]
 
+    @jax.jit
+    def int8ch_scan_loop(x, wcs, wss):
+        # the chain as the MODEL runs it: weights stacked [depth, K, N] and
+        # dynamic-sliced inside a scan (run_blocks slices block params from
+        # depth-stacked arrays).  Compares against int8ch_full_loop to test
+        # whether the scan-slice context costs a relayout of the int8 codes.
+        from fpqvar_tpu.ops.pallas.int8_matmul import _channel_dot
+
+        d = wcs.shape[0]
+
+        def body(carry, blk):
+            xx, acc = carry
+            wc, ws = blk
+            a, s = P.quant_int_codes(xx.astype(jnp.float32), "fp_e2", k)
+            y = _channel_dot(a, s, wc, ws)
+            feed = y.mean(axis=1, keepdims=True)
+            return ((xx + (1e-12 * feed).astype(xx.dtype),
+                     acc + feed[0, 0]), None)
+
+        def outer(i, carry):
+            return jax.lax.scan(body, carry, (wcs, wss))[0]
+
+        return jax.lax.fori_loop(0, max(1, iters // d), outer,
+                                 (x, jnp.float32(0)))[1]
+
+    @jax.jit
+    def wonly_loop(x, wc, ws):
+        # the W4A16 GEMM as the model runs it: bf16 dot over int8 codes
+        # converted in the operand read + one [M, N] output rescale
+        # (int8_matmul._wonly_dot, per-channel).  Explains the batch-8
+        # w4a16 ratio: whatever this leg loses vs the plain bf16 dot is
+        # pure operand-convert + epilogue cost.
+        from fpqvar_tpu.ops.pallas.int8_matmul import _wonly_dot
+
+        def body(i, carry):
+            xx, acc = carry
+            y = _wonly_dot(xx, wc, ws, k)
+            feed = y.mean(axis=1, keepdims=True)
+            return (xx + (1e-12 * feed).astype(xx.dtype), acc + feed[0, 0])
+        return jax.lax.fori_loop(0, iters, body, (x, 0.0))[1]
+
     peak_bf16, peak_int8 = 197e12, 394e12
     t = timed(bf16_loop, x, w, iters=iters)
     print(f"bf16 GEMM       : {flops / t / 1e12:7.1f} TFLOP/s "
@@ -226,6 +267,18 @@ def main():
     print(f"int8ch q+dot+s  : {flops / t / 1e12:7.1f} TOP/s "
           f"({flops / t / peak_int8 * 100:5.1f}% of int8 peak) "
           f"[incl. act quantize]")
+    t = timed(wonly_loop, x, pwc.codes, pwc.scales, iters=iters)
+    print(f"w4a16 dot       : {flops / t / 1e12:7.1f} TFLOP/s "
+          f"({flops / t / peak_bf16 * 100:5.1f}% of bf16 peak) "
+          f"[bf16 dot over converted codes + rescale]")
+    depth = 8   # enough blocks to defeat any hoisting, small enough to fit
+    wcs = jnp.stack([pwc.codes ^ jnp.int8(i) for i in range(depth)])
+    wss = jnp.stack([pwc.scales * (1 + i / 64) for i in range(depth)])
+    it_eff = max(1, iters // depth) * depth
+    t = timed(int8ch_scan_loop, x, wcs, wss, iters=it_eff)
+    print(f"int8ch scan     : {flops / t / 1e12:7.1f} TOP/s "
+          f"({flops / t / peak_int8 * 100:5.1f}% of int8 peak) "
+          f"[chain inside lax.scan over depth-stacked codes]")
 
 
 if __name__ == "__main__":

@@ -113,11 +113,21 @@ def main():
     eng = VARGenerator(cfg, qcfg, genc, fuse_steps=False)
     fused = VARGenerator(cfg, qcfg, genc)
 
+    # per-pass salt: the relay MEMOIZES identical (program, inputs)
+    # executions (see bench.py _RUN_SALT) — an unsalted pass would re-issue
+    # bit-identical step inputs every round and measure only the ~40 ms RTT
+    salt = int.from_bytes(os.urandom(4), "little") & 0x7FFFFFFF
+    pass_no = [0]
+
     def one_pass(record):
         """Run the stepwise chain once; append per-stage seconds."""
-        k = jax.random.fold_in(key, 0)
+        pass_no[0] += 1
+        k = jax.random.fold_in(jax.random.fold_in(key, salt), pass_no[0])
+        # salt the transformer input too: prepare/scale0 consume (params,
+        # label, x) before any sampling key enters the chain
+        lbl = (label + pass_no[0]) % cfg.num_classes
         t0 = time.perf_counter()
-        cond_BD, mod, lvl_pos, x = eng._prepare(params=params, label_B=label)
+        cond_BD, mod, lvl_pos, x = eng._prepare(params=params, label_B=lbl)
         jax.device_get(x)
         record.setdefault("prepare", []).append(time.perf_counter() - t0)
         x = x.astype(eng.compute_dtype)
@@ -146,14 +156,16 @@ def main():
     for _ in range(args.rounds):
         one_pass(rec)
 
-    # fused end-to-end
-    img = fused.generate(params, vae_p, label, key)
+    # fused end-to-end (same per-process salt: deterministic keys would be
+    # memoized by the relay across runs)
+    fkey = jax.random.fold_in(key, salt + 1)
+    img = fused.generate(params, vae_p, label, fkey)
     jax.device_get(img[:, 0, 0, 0])
     dts = []
     for i in range(args.rounds):
         t0 = time.perf_counter()
         img = fused.generate(params, vae_p, label,
-                             jax.random.fold_in(key, i))
+                             jax.random.fold_in(fkey, i))
         jax.device_get(img[:, 0, 0, 0])
         dts.append(time.perf_counter() - t0)
 
