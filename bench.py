@@ -292,9 +292,8 @@ def main():
         "int8": base.replace(backend="int8"),
         # int8ch: per-channel weight / per-token act scales -> ONE full-K
         # int8 MXU dot per GEMM, scales applied once outside the
-        # contraction (roofline: full-K int8 holds the bf16 GEMM rate with
-        # half the bytes; per-group scaling drops to ~0.6-0.75x of it —
-        # scripts/kernel_roofline.py)
+        # contraction (corrected roofline ROUND_NOTES_r03.md: full-K int8
+        # 1.45x the bf16 GEMM rate, grouped-128 Pallas 0.98x)
         "int8ch": base.replace(backend="int8", weight_quant="per_channel",
                                act_quant="per_token"),
         # int8chs: int8ch + single-grid fc2 acts.  Dual-grid fc2 needs TWO

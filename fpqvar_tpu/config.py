@@ -201,24 +201,22 @@ class QuantConfig:
     #: "fake"   — quantize→dequantize in bf16/f32, matmuls dense (parity path)
     #: "packed" — nibble codes + scales, Pallas fused dequant-matmul
     #:            (weight-HBM-capacity path: 4x smaller weights)
-    #: "int8"   — integer-value codes both sides, grouped int8 x int8 -> int32
-    #:            MXU GEMM (throughput path: 2x bf16 MAC rate on v5e; exact
-    #:            integer arithmetic, tighter than the fake bf16 GEMM).
-    #:            With weight_quant="per_channel" + act_quant="per_token"
-    #:            ("int8ch") the scales hoist fully out of the contraction
-    #:            and every GEMM is ONE full-K int8 MXU dot — rate parity with
-    #:            the bf16 GEMM rate on v5e, where per-group-128 scaling
-    #:            drops to 0.74x (scripts/kernel_roofline.py); quality cost
-    #:            of the coarser scales is ~2x logit MSE with rotation on
-    #:            (tests/test_recipe_ablation.py).
+    #: "int8"   — integer-value codes both sides, int8 x int8 -> int32
+    #:            MXU GEMM (exact integer arithmetic, tighter than the fake
+    #:            bf16 GEMM).  With weight_quant="per_channel" +
+    #:            act_quant="per_token" ("int8ch") the scales hoist fully out
+    #:            of the contraction and every GEMM is ONE full-K int8 MXU
+    #:            dot — measured 1.45x the bf16 GEMM rate on v5e (1.36x
+    #:            including the act-quant chain); the grouped-128 Pallas
+    #:            GEMM holds 0.98x, so per-group scaling is a free quality
+    #:            knob (corrected roofline, ROUND_NOTES_r03.md); quality cost
+    #:            of the coarser per-channel scales is ~2x logit MSE with
+    #:            rotation on (tests/test_recipe_ablation.py).
     backend: str = "fake"
-    #: EXPERIMENTAL: fuse rotation + per-group act quantization into the
-    #: GEMM kernel for eligible layers.  v1 recomputes the quantization per
-    #: N-tile and measured slower than the XLA-fused unfused path at d30
-    #: (4.63 vs 5.42 img/s); default off until the two-phase variant
-    #: (quantize-once kernel + XLA GEMM) lands.  Numerics: rotation runs in
-    #: f32 in-kernel (slightly more precise than the bf16 unfused rotation).
-    fuse_act: bool = False
+    # NOTE: a `fuse_act` rotate+quantize+GEMM Pallas pipeline and a fused
+    # per-channel int8 kernel existed through round 3 and were retired —
+    # four hand-scheduling attempts all measured slower than the XLA-fused
+    # chain on v5e (ARCHITECTURE.md "Fused-kernel appendix").
 
     # Per-block mixed-format assignment (the paper's MixedFormat ablation,
     # `quant_utils.py:1256-1432`): optional tuple of per-block act formats.

@@ -142,14 +142,6 @@ def block_forward(
     rot = qrt.rotation_block if qrt is not None else None
     rot_full = qrt.rotation_full if qrt is not None else None
 
-    # eligible layers fuse rotation + per-group act quant into the GEMM
-    # kernel (one HBM pass over the activation instead of three); capture
-    # mode needs the intermediate tensors and uses the unfused path
-    fused = qrt.fused_fmt if (qrt is not None and not capture) else {}
-
-    def _fused_ok(kind, w):
-        return fused.get(kind) is not None and not isinstance(w, PackedTensor)
-
     def _q_then_lin(kind, xv, w, b=None):
         """Activation quant + linear for one layer kind.  int8-backend
         weights (IntPack) quantize to integer codes inside the kernel call;
@@ -188,20 +180,12 @@ def block_forward(
     x1 = layernorm_no_affine(x, cfg.norm_eps) * (1.0 + scale1) + shift1
     if smooth:
         x1 = x1 * bp["mat_qkv_s"].astype(x1.dtype)
-    if _fused_ok("mat_qkv", bp["mat_qkv_w"]) and rot_full is None:
-        from fpqvar_tpu.ops.pallas.act_pipeline import fused_rotquant_linear
-
-        qkv = fused_rotquant_linear(
-            x1, bp["mat_qkv_w"], rot, fused["mat_qkv"],
-            rotate=rot is not None)
-        taps = None
-    else:
-        if rot is not None:
-            x1 = apply_block_hadamard(x1, rot)
-        elif rot_full is not None:
-            x1 = x1 @ rot_full.astype(x1.dtype)
-        qkv, x1t = _q_then_lin("mat_qkv", x1, bp["mat_qkv_w"])
-        taps = {"mat_qkv": x1t} if capture else None
+    if rot is not None:
+        x1 = apply_block_hadamard(x1, rot)
+    elif rot_full is not None:
+        x1 = x1 @ rot_full.astype(x1.dtype)
+    qkv, x1t = _q_then_lin("mat_qkv", x1, bp["mat_qkv_w"])
+    taps = {"mat_qkv": x1t} if capture else None
     bias = jnp.concatenate(
         [bp["q_bias"], jnp.zeros_like(bp["q_bias"]), bp["v_bias"]]
     )
@@ -333,45 +317,22 @@ def block_forward(
 
     if k_all is not None:
         oup = _attention(q, k_all, v_all, attn_bias)
-    if _fused_ok("proj", bp["proj_w"]):
-        from fpqvar_tpu.ops.pallas.act_pipeline import fused_rotquant_linear
-
-        proj_out = fused_rotquant_linear(
-            oup, bp["proj_w"], None, fused["proj"], rotate=False)
-        proj_out = proj_out + bp["proj_b"].astype(proj_out.dtype)
-    else:
-        proj_out, oup_t = _q_then_lin("proj", oup, bp["proj_w"],
-                                      bp["proj_b"])
-        if capture:
-            taps["proj"] = oup_t
+    proj_out, oup_t = _q_then_lin("proj", oup, bp["proj_w"], bp["proj_b"])
+    if capture:
+        taps["proj"] = oup_t
     x = x + (proj_out * gamma1).astype(x.dtype)
 
     # ---- FFN branch
     x2 = layernorm_no_affine(x, cfg.norm_eps) * (1.0 + scale2) + shift2
     if smooth:
         x2 = x2 * bp["fc1_s"].astype(x2.dtype)
-    if _fused_ok("fc1", bp["fc1_w"]) and rot_full is None:
-        from fpqvar_tpu.ops.pallas.act_pipeline import fused_rotquant_linear
-
-        h1 = fused_rotquant_linear(
-            x2, bp["fc1_w"], rot, fused["fc1"], rotate=rot is not None)
-        h = gelu_tanh(h1 + bp["fc1_b"].astype(h1.dtype))
-    else:
-        if rot is not None:
-            x2 = apply_block_hadamard(x2, rot)
-        elif rot_full is not None:
-            x2 = x2 @ rot_full.astype(x2.dtype)
-        h1, x2 = _q_then_lin("fc1", x2, bp["fc1_w"], bp["fc1_b"])
-        h = gelu_tanh(h1)
-    if _fused_ok("fc2", bp["fc2_w"]):
-        from fpqvar_tpu.ops.pallas.act_pipeline import fused_rotquant_linear
-
-        out = fused_rotquant_linear(
-            h, bp["fc2_w"], None, fused["fc2"], rotate=False)
-        out = out + bp["fc2_b"].astype(out.dtype)
-        h_t = h
-    else:
-        out, h_t = _q_then_lin("fc2", h, bp["fc2_w"], bp["fc2_b"])
+    if rot is not None:
+        x2 = apply_block_hadamard(x2, rot)
+    elif rot_full is not None:
+        x2 = x2 @ rot_full.astype(x2.dtype)
+    h1, x2 = _q_then_lin("fc1", x2, bp["fc1_w"], bp["fc1_b"])
+    h = gelu_tanh(h1)
+    out, h_t = _q_then_lin("fc2", h, bp["fc2_w"], bp["fc2_b"])
     if capture:
         taps["fc1"] = x2
         taps["fc2"] = h_t

@@ -4,8 +4,11 @@ The reference never executes low-bit arithmetic (fake-quant fp16 GEMMs,
 `models_fp_quant/quant_utils.py:844-850`).  Here both operands are exact
 integer codes (fp grid values times a power of two, see
 fpqvar_tpu.ops.packing.CODE_MULT) and each contraction runs int8 x int8 ->
-int32 on the MXU — 2x the bf16 MACs/cycle on v5e — with the per-group-128
-absmax scales applied in f32 on the partial products:
+int32 on the MXU — measured 1.45x the bf16 GEMM rate on v5e for full-K XLA
+dots, 0.98x for this grouped-128 Pallas kernel (corrected roofline,
+ROUND_NOTES_r03.md; the nominal 2x int8 rate is not realized through this
+stack) — with the per-group-128 absmax scales applied in f32 on the partial
+products:
 
     y[m,n] = sum_g  sa[m,g] * sw[g,n] * sum_{k in g} ac[m,k] * wc[k,n]
 
@@ -353,34 +356,17 @@ def _fused_ch_matmul_2d(x, wcodes, wscales, *, fmt, n, k_dim,
     return out[:m] if m_pad != m else out
 
 
-#: opt-in switch for the fused quantize+dot+rescale per-channel kernel
-#: (round-3 two-phase design).  Default OFF — FOURTH negative result for
-#: hand-scheduling against XLA fusion on v5e: bit-parity everywhere, but
-#: in a drift-free bracketed window (bf16-dot 56.2/56.9 TFLOP/s) the
-#: kernel ran 58.5 TOP/s vs the XLA quantize->dot->rescale chain's 74.4
-#: (m4096 k1920 n5760; bm=512 exceeds scoped VMEM with the in-kernel
-#: [bm, K] x + codes residents, and bm=256 starves the MXU pipeline).
-#: Notably the XLA int8ch chain ran 1.32x the bf16 dot IN-WINDOW — the
-#: chain, not a Pallas rewrite, is the speed path on this stack.
-USE_FUSED_CH_KERNEL = False
-
-
-def _fused_ch_usable(n, k_dim, interpret=False):
-    return ((jax.default_backend() == "tpu" or interpret)
-            and n % 128 == 0 and k_dim % 128 == 0)
-
-
 def _channel_dot(ac, asc, wc, ws):
     """Per-channel/per-token path (G == 1): ONE full-K int8 MXU dot with the
     scales hoisted entirely out of the contraction.
 
-    The kernel-roofline microbench (scripts/kernel_roofline.py) measured the
-    per-group-128 scale chain at 59 TOP/s vs 106 TOP/s for the plain full-K
-    int8 dot (bf16: 80 TFLOP/s) on v5e — per-group scaling costs ~4 VPU
-    passes over the [M, N] partial per group, more VPU time than the MXU
-    dot itself.  With per-channel weight / per-token act scales the rescale
-    is one outer-product multiply amortized over the whole K depth, so the
-    GEMM rides the MXU's native 2x int8 rate.  Plain XLA — no Pallas needed.
+    The corrected kernel-roofline (ROUND_NOTES_r03.md; the earlier 59-vs-106
+    numbers were DCE/memoization artifacts) measured this full-K chain at
+    165.3 TOP/s vs the bf16 GEMM's 114.3 TFLOP/s (1.45x; 1.36x including
+    the act-quant emit) and the grouped-128 Pallas kernel at 112.4 (0.98x).
+    With per-channel weight / per-token act scales the rescale is one
+    outer-product multiply amortized over the whole K depth.  Plain XLA —
+    no Pallas needed.
 
     asc [M, 1], ws [1, N]; exact: |codes| <= 60 (packing.CODE_MULT) so the
     int32 dot is overflow-free to K ~ 5e5.
@@ -390,22 +376,14 @@ def _channel_dot(ac, asc, wc, ws):
     return p.astype(jnp.float32) * asc * ws
 
 
-#: opt-in: route per-channel GEMMs to the fused-epilogue Pallas kernel.
-#: Default OFF — measured SLOWER end-to-end than the XLA _channel_dot at
-#: d30 batch 8 (int8chs 10.52 vs 11.05 img/s, drift-free bracketed runs)
-#: despite winning an isolated microbench: the Pallas call boundary forces
-#: the act-quantize chain's codes/scales to materialize to HBM, while XLA
-#: fuses quantize -> dot -> rescale into one program.  Third negative
-#: result for hand-scheduling against XLA fusion at these shapes
-#: (ROUND_NOTES.md round 1 records the other two).
-USE_CH_KERNEL = False
-
-
 def _call(ac, asc, wc, ws, *, group_size, n, k_dim, force_jnp):
+    # Per-channel GEMMs always take the XLA _channel_dot chain.  Two retired
+    # Pallas alternatives (`_int8ch_matmul_2d` fused-epilogue, round 2;
+    # `_fused_ch_matmul_2d` two-phase quantize-in-VMEM, round 3) are kept as
+    # measured diagnostics only — both lost drift-free bracketed runs to
+    # XLA's quantize->dot->rescale fusion (ARCHITECTURE.md "Fused-kernel
+    # appendix"; scripts/kernel_roofline.py still measures them).
     if group_size == k_dim:
-        if (USE_CH_KERNEL and not force_jnp
-                and _use_kernel(n, k_dim, 128) and k_dim % 128 == 0):
-            return _int8ch_matmul_2d(ac, asc, wc, ws, n=n, k_dim=k_dim)
         return _channel_dot(ac, asc, wc, ws)
     if force_jnp or not _use_kernel(n, k_dim, group_size):
         return _jnp_reference(ac, asc, wc, ws, group_size)
@@ -573,18 +551,6 @@ def int8_linear(x, pw: P.IntPack, act_fmt: str = None, *,
             out = _wonly_dot(x2, pw.codes, pw.scales, pw.group_size)
         return out.reshape(lead + (n,)).astype(x.dtype)
     fmt = act_fmt or pw.fmt
-    if (USE_FUSED_CH_KERNEL and pw.group_size == k_dim and mesh is None
-            and not force_jnp and fmt in P.CODE_MULT
-            and _fused_ch_usable(n, k_dim)):
-        # per-channel/per-token single-grid path: the two-phase fused
-        # kernel quantizes in VMEM and rescales before the one HBM write
-        # (TP path keeps the XLA chain: its per-token scale is global
-        # over K while shard_map splits K locally)
-        out_dtype = (jnp.bfloat16 if x.dtype == jnp.bfloat16
-                     else jnp.float32)
-        out = _fused_ch_matmul_2d(x2, pw.codes, pw.scales, fmt=fmt,
-                                  n=n, k_dim=k_dim, out_dtype=out_dtype)
-        return out.reshape(lead + (n,)).astype(x.dtype)
     ac, asc = P.quant_int_codes(x2, fmt, pw.group_size)
     out = None
     if mesh is not None and parallel is not None:

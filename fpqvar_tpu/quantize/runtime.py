@@ -93,9 +93,6 @@ class QuantRuntime:
     #: per layer kind: activation format NAME (int8 backend quantizes inside
     #: the kernel call and needs the name, not a dequantizing callable)
     act_fmts: Dict[str, Optional[str]] = field(default_factory=dict)
-    #: per layer kind: the format name when the fused rotate+quantize+GEMM
-    #: kernel can handle this layer's act quantization, else None
-    fused_fmt: Dict[str, Optional[str]] = field(default_factory=dict)
     #: mixed-format configs (`quant_utils.py:1256-1432`): one act_q dict per
     #: DISTINCT block format (2 for the paper's e2/e3 splits) + a per-block
     #: variant index.  The model scans ONE block body containing a
@@ -170,7 +167,6 @@ def build_runtime(qcfg: QuantConfig, depth: Optional[int] = None,
 
     act_q: Dict[str, Optional[Callable]] = {k: None for k in LAYER_KINDS}
     fmts: Dict[str, Optional[str]] = {k: None for k in LAYER_KINDS}
-    fused_fmt: Dict[str, Optional[str]] = {k: None for k in LAYER_KINDS}
     mixed = None
     mixed_idx = None
     if qcfg.enabled:
@@ -211,7 +207,7 @@ def build_runtime(qcfg: QuantConfig, depth: Optional[int] = None,
                 act_q = dict(act_q)
                 act_q["ada"] = _ada_act_quantizer(qcfg)
             return QuantRuntime(
-                act_q=act_q, act_fmts=fmts, fused_fmt=fused_fmt,
+                act_q=act_q, act_fmts=fmts,
                 kv_q=kv_q, kv_codec=kv_codec,
                 kv_mode=qcfg.kv_mode,
                 attn_int8=_check_attn_int8(qcfg, kv_codec),
@@ -223,17 +219,6 @@ def build_runtime(qcfg: QuantConfig, depth: Optional[int] = None,
                  for k in LAYER_KINDS}
         if qcfg.quantize_ada:
             act_q["ada"] = _ada_act_quantizer(qcfg)
-        if (qcfg.fuse_act and qcfg.backend == "fake" and not qcfg.int_quant
-                and qcfg.act_quant == "per_group"
-                and qcfg.group_size == 128
-                and qcfg.mixed_act_formats is None):
-            from fpqvar_tpu.ops.pallas.act_pipeline import (
-                DUAL_FUSED_FORMATS, FUSED_FORMATS)
-
-            for k in LAYER_KINDS:
-                if fmts[k] in FUSED_FORMATS or fmts[k] in DUAL_FUSED_FORMATS:
-                    fused_fmt[k] = fmts[k]
-
         if qcfg.mixed_act_formats is not None:
             if depth is None:
                 raise ValueError("depth required for mixed-format configs")
@@ -254,7 +239,6 @@ def build_runtime(qcfg: QuantConfig, depth: Optional[int] = None,
     return QuantRuntime(
         act_q=act_q,
         act_fmts=fmts,
-        fused_fmt=fused_fmt,
         mixed_act_q=mixed,
         mixed_idx=mixed_idx,
         kv_q=kv_q,

@@ -447,90 +447,6 @@ def test_galt_fp6_ste():
     np.testing.assert_allclose(np.asarray(g), 2.0)
 
 
-def test_fused_act_pipeline_matches_unfused(tiny_model):
-    """fuse_act=True (rotate+quantize+GEMM in one kernel; f32 rotation) must
-    match the unfused path within bf16-rotation tolerance."""
-    vae_p, var_p = tiny_model
-    base = fpqvar_w4a4().replace(transform=False)
-    qp = quantize_var_params(var_p, TINY, base)
-    lab = jnp.array([2, 6])
-    key = jax.random.PRNGKey(17)
-    img_unfused = VARGenerator(
-        TINY, base.replace(fuse_act=False)).generate(qp, vae_p, lab, key)
-    img_fused = VARGenerator(
-        TINY, base.replace(fuse_act=True)).generate(qp, vae_p, lab, key)
-    # sampling can diverge if any logit flips; just require validity + close
-    # block outputs:
-    from fpqvar_tpu.quantize import build_runtime
-
-    x = jax.random.normal(jax.random.PRNGKey(3), (2, 4, TINY.width)) * 0.3
-    cond = jax.random.normal(jax.random.PRNGKey(4), (2, TINY.width)) * 0.3
-    mod = V.compute_modulations(qp, TINY, cond)
-    y_u, _, _ = V.run_blocks(qp, TINY, build_runtime(
-        base.replace(fuse_act=False), TINY.depth), x, mod)
-    y_f, _, _ = V.run_blocks(qp, TINY, build_runtime(
-        base.replace(fuse_act=True), TINY.depth), x, mod)
-    rel = float(jnp.mean(jnp.abs(y_u - y_f)) / jnp.mean(jnp.abs(y_u)))
-    assert rel < 0.05, rel
-    assert not bool(jnp.isnan(img_fused).any())
-    assert img_fused.shape == img_unfused.shape
-
-
-def test_fuse_act_default_off():
-    """fuse_act ships disabled (measured slower than the XLA-fused unfused
-    path on v5e, see ROUND_NOTES.md); guard against accidental flips."""
-    from fpqvar_tpu.quantize import build_runtime
-
-    qcfg = fpqvar_w4a4()
-    assert qcfg.fuse_act is False
-    qrt = build_runtime(qcfg, 2, 128)
-    assert all(v is None for v in qrt.fused_fmt.values())
-    qrt_on = build_runtime(qcfg.replace(fuse_act=True), 2, 128)
-    assert qrt_on.fused_fmt["mat_qkv"] == "fp_e2"
-    # fc2's dual-grid format fuses via the two-phase dual kernel
-    assert qrt_on.fused_fmt["fc2"] == qcfg.fc2_format
-
-
-def test_rotquant_dual_kernel_matches_fake_quant_dual():
-    """Dual-grid phase-1 kernel (interpret mode) vs quantizers.fake_quant_dual
-    — same sign-split scales and snap chains, bf16 output tolerance."""
-    from fpqvar_tpu.ops.pallas.act_pipeline import _rotquant_dual_2d
-    from fpqvar_tpu.ops.quantizers import fake_quant_dual
-
-    for fmt in ("fp_e1m2_neg_e2m1_pos", "fp4_afpq", "fp6_int_neg_e2m3_pos"):
-        x = jax.random.normal(jax.random.PRNGKey(11), (16, 256), jnp.float32)
-        q = jnp.eye(128, dtype=jnp.float32)
-        got = _rotquant_dual_2d(x, q, fmt=fmt, k_dim=256, rotate=False,
-                                interpret=True)
-        want = fake_quant_dual(x, fmt, granularity="per_group",
-                               group_size=128)
-        np.testing.assert_allclose(np.asarray(got, np.float32),
-                                   np.asarray(want, np.float32),
-                                   rtol=0, atol=float(
-                                       np.max(np.abs(want)) * 2 ** -8))
-
-
-def test_fused_dual_fc2_generation_matches_unfused(tiny_model):
-    """fuse_act with the dual-grid fc2 kernel engaged must generate like the
-    unfused path (CPU takes the bit-matching jnp fallback; the interpret-mode
-    kernel parity test above covers the Pallas body)."""
-    vae_p, var_p = tiny_model
-    base = fpqvar_w4a4().replace(transform=False)
-    qp = quantize_var_params(var_p, TINY, base)
-    lab = jnp.array([2, 6])
-    key = jax.random.PRNGKey(17)
-    from fpqvar_tpu.quantize import build_runtime
-
-    qrt = build_runtime(base.replace(fuse_act=True), TINY.depth, TINY.width)
-    assert qrt.fused_fmt["fc2"] is not None
-    img_f = VARGenerator(
-        TINY, base.replace(fuse_act=True)).generate(qp, vae_p, lab, key)
-    img_u = VARGenerator(
-        TINY, base.replace(fuse_act=False)).generate(qp, vae_p, lab, key)
-    np.testing.assert_allclose(np.asarray(img_f), np.asarray(img_u),
-                               atol=2e-2)
-
-
 def test_single_sort_topk_topp_filter_matches_sequential():
     """The fused one-sort top-k+top-p branch must be bit-equal to the
     sequential two-filter chain (reference helpers.py:8-15 order), ties at
