@@ -183,7 +183,16 @@ def main():
     ap.add_argument("--warm-cache", action="store_true",
                     help="build + disk-cache the host param trees for the "
                          "selected modes, then exit (no device work); run "
-                         "under JAX_PLATFORMS=cpu to leave the TPU free")
+                         "under JAX_PLATFORMS=cpu to leave the TPU free. "
+                         "Only useful with --host-params")
+    ap.add_argument("--host-params", action="store_true",
+                    help="legacy path: build param trees on the host "
+                         "(disk-cached) and device_put them. Default is the "
+                         "on-device build (jitted init + traced transform): "
+                         "the remote-TPU relay uploads at 60-100 MB/s, so "
+                         "host trees cost 185-210s per mode (BENCH_r03) "
+                         "while the device build is milliseconds after a "
+                         "cached compile")
     ap.add_argument("--b1-only", action="store_true",
                     help="skip the batch-8 suite; run only the batch-1 "
                          "pipelined deployment measurement")
@@ -203,6 +212,9 @@ def main():
                          "GEMMs + packed int8 KV cache; int8att = int8kv + "
                          "int8 attention contractions)")
     args = ap.parse_args()
+    if args.warm_cache and not args.host_params:
+        # the warm cache only feeds the legacy host-build path
+        args.host_params = True
     if args.b1_only and (args.modes or args.batch):
         ap.error("--b1-only runs a fixed batch-1 mode list (bf16, w4a16, "
                  "int8chs, bf16 bracket); it cannot be combined with "
@@ -253,19 +265,30 @@ def main():
         CKPT.save_params(path, tree)
         return tree
 
-    # init on host CPU (avoids pulling hundreds of MB back from the device
-    # for the offline quantization transform), then place on the accelerator
-    # once.
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        var_host = disk_cached("base", lambda: jax.tree_util.tree_map(
-            np.asarray, init_var_params(key, cfg, dtype=jnp.bfloat16)))
-        vae_p = init_vqvae_params(jax.random.PRNGKey(1), cfg.vae)
-        vae_p = jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
-            vae_p)
     dev = jax.devices()[0]
-    vae_p = jax.device_put(vae_p, dev)
+    if args.host_params:
+        # legacy: init on host CPU, then upload.  60-100 MB/s through the
+        # relay — kept for A/B debugging of the device build.
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            var_host = disk_cached("base", lambda: jax.tree_util.tree_map(
+                np.asarray, init_var_params(key, cfg, dtype=jnp.bfloat16)))
+            vae_p = init_vqvae_params(jax.random.PRNGKey(1), cfg.vae)
+            vae_p = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x, vae_p)
+        vae_p = jax.device_put(vae_p, dev)
+    else:
+        var_host = None
+
+        @jax.jit
+        def _vae_init(k):
+            p = init_vqvae_params(k, cfg.vae)
+            return jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x, p)
+
+        vae_p = _vae_init(jax.random.PRNGKey(1))
     gen_cfg = GenerateConfig()
 
     # Two fp4 execution modes are benchmarked (ARCHITECTURE.md "three
@@ -389,6 +412,34 @@ def main():
             qp_host_cache[mode_name] = disk_cached(tag, build_qp)
         return qp_host_cache[mode_name]
 
+    galt_j = tuple(jnp.asarray(g) for g in galt)
+
+    def device_params(mode_name):
+        """Synthesize the mode's param tree directly in device HBM: one
+        jitted program fusing random init + the traced offline transform
+        (quantize.recipe.transform_blocks_traced).  Zero multi-GB uploads;
+        compile is persistently cached (.jax_cache), so driver reruns pay
+        milliseconds where BENCH_r03 paid 185-210s of device_put per mode."""
+        from fpqvar_tpu.quantize.recipe import transform_blocks_traced
+
+        qcfg_m = mode_cfgs[mode_name]
+
+        @jax.jit
+        def build(k):
+            p = init_var_params(k, cfg, dtype=jnp.bfloat16)
+            if mode_name == "bf16":
+                return p
+            p = dict(p)
+            p["blocks"] = transform_blocks_traced(
+                p["blocks"], cfg, qcfg_m, galt=galt_j)
+            if qcfg_m.backend == "fake":
+                p = jax.tree_util.tree_map(
+                    lambda a: a.astype(jnp.bfloat16)
+                    if a.dtype == jnp.float32 else a, p)
+            return p
+
+        return build(key)
+
     def run_suite(suite_modes, suite_batch, rounds, tag, pipelined=False):
         """``pipelined=True`` reports steady-state pipelined throughput
         (the serving number; hides the per-dispatch relay RTT) and prints
@@ -406,15 +457,20 @@ def main():
                 continue
             qcfg_m = mode_cfgs[base_name]
             t_a = time.perf_counter()
-            hp = host_params(base_name)
-            t_b = time.perf_counter()
-            params = jax.device_put(hp, dev)
+            if args.host_params:
+                hp = host_params(base_name)
+                t_b = time.perf_counter()
+                params = jax.device_put(hp, dev)
+            else:
+                t_b = time.perf_counter()
+                params = device_params(base_name)
             for leaf in jax.tree_util.tree_leaves(params):
                 if hasattr(leaf, "block_until_ready"):
                     leaf.block_until_ready()
             t_c = time.perf_counter()
             print(f"# {tag}{mode}: host params {t_b - t_a:.1f}s, "
-                  f"device_put {t_c - t_b:.1f}s", file=sys.stderr, flush=True)
+                  f"{'device_put' if args.host_params else 'device build'} "
+                  f"{t_c - t_b:.1f}s", file=sys.stderr, flush=True)
             gen = VARGenerator(cfg, qcfg_m, gen_cfg)
             extra = ""
             if pipelined:

@@ -196,3 +196,100 @@ class _nullcontext:
 
     def __exit__(self, *a):
         return False
+
+
+def transform_blocks_traced(
+    blocks: dict,
+    cfg: VARConfig,
+    qcfg: QuantConfig,
+    galt: Optional[Tuple] = None,
+) -> dict:
+    """Device-traceable offline transform (fold -> rotate -> quantize) over
+    the stacked ``blocks`` subtree.  Same pipeline as the host-side
+    ``quantize_var_params`` with two deliberate deviations:
+
+    - rotation accumulates in float32, not float64 (TPUs have no f64); the
+      host path stays the bit-parity surface for real checkpoint transforms
+      (`rotate_utils/rotation_utils.py:129-154` does f64 on GPU too);
+    - fake-backend weights come back in the INPUT dtype (bf16) instead of
+      f32 — the dtype every consumer casts to anyway.
+
+    Raison d'être: synthesizing per-mode param trees directly in device HBM.
+    Uploading a d30 tree through the remote-TPU relay moves at 60-100 MB/s
+    (BENCH_r03: 185-210s per mode, which evicted the batch-8 suite from the
+    driver window); this traced build is milliseconds of device compute
+    after a one-time, persistently cached compile.  Callable inside jit.
+    (``quantize_ada`` covers the per-block ada_lin only; the d36
+    shared_ada_lin leaf lives outside ``blocks`` — use the host path for it.)
+    """
+    if qcfg.transform and galt is None:
+        raise ValueError("qcfg.transform=True requires GALT vectors")
+    s1 = jnp.asarray(galt[0], jnp.float32) if qcfg.transform else None
+    s2 = jnp.asarray(galt[1], jnp.float32) if qcfg.transform else None
+    qmat = None
+    if qcfg.rotate:
+        if qcfg.block_rotate:
+            qmat = jnp.asarray(H.block_hadamard_block(
+                qcfg.rotation_block, qcfg.rotation_seed), jnp.float32)
+        else:
+            qmat = jnp.asarray(H.random_hadamard_matrix(
+                cfg.width, qcfg.rotation_seed), jnp.float32)
+
+    out = dict(blocks)
+    in_dt = blocks["mat_qkv_w"].dtype
+    for key, s in (("mat_qkv_w", s1), ("fc1_w", s2)):
+        w = blocks[key].astype(jnp.float32)
+        if s is not None:
+            w = w / s[:, None, :]
+        if qmat is not None:
+            if qcfg.block_rotate:
+                nb = qmat.shape[0]
+                d, o, i = w.shape
+                w = (w.reshape(d, o, i // nb, nb) @ qmat).reshape(d, o, i)
+            else:
+                w = w @ qmat
+        out[key] = w
+    if s1 is not None:
+        out["mat_qkv_s"] = s1.astype(blocks["mat_qkv_s"].dtype)
+        out["fc1_s"] = s2.astype(blocks["fc1_s"].dtype)
+
+    if not qcfg.enabled:
+        for key in _ROTATED_KEYS:
+            out[key] = out[key].astype(in_dt)
+        return out
+
+    def f32(key):
+        return out[key] if key in _ROTATED_KEYS else (
+            blocks[key].astype(jnp.float32))
+
+    if qcfg.backend == "packed":
+        fmt = qcfg.weight_format
+        if fmt not in P.G.GRIDS:
+            raise ValueError(f"packed backend needs a grid format, got {fmt}")
+        for key in _WEIGHT_KEYS:
+            out[key] = P.pack_stacked(f32(key), fmt, qcfg.group_size)
+    elif qcfg.backend == "int8":
+        fmt = qcfg.weight_format
+        if fmt not in P.CODE_MULT:
+            raise ValueError(
+                f"int8 backend supports {sorted(P.CODE_MULT)}, got {fmt}")
+        per_channel = qcfg.weight_quant == "per_channel"
+        for key in _WEIGHT_KEYS:
+            w = f32(key)
+            gs = w.shape[-1] if per_channel else qcfg.group_size
+            out[key] = P.pack_int_codes(w, fmt=fmt, group_size=gs)
+    else:
+        fmt = "int_sym" if qcfg.int_quant else qcfg.weight_format
+        wq = Q.make_weight_quantizer(
+            fmt, qcfg.w_bit, granularity=qcfg.weight_quant,
+            group_size=qcfg.group_size)
+        for key in _WEIGHT_KEYS:
+            out[key] = wq(f32(key)).astype(in_dt)
+    if qcfg.quantize_ada and "ada_lin" in blocks:
+        wq = Q.make_weight_quantizer(
+            "int_sym" if qcfg.int_quant else qcfg.weight_format, qcfg.w_bit,
+            granularity=qcfg.weight_quant, group_size=qcfg.group_size)
+        al = dict(blocks["ada_lin"])
+        al["w"] = wq(al["w"].astype(jnp.float32)).astype(al["w"].dtype)
+        out["ada_lin"] = al
+    return out
