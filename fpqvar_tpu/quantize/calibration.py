@@ -102,6 +102,9 @@ class CalibrationStore:
         """Merge a capture run into the store (concatenating over batch)."""
         for step, taps in enumerate(taps_per_step):
             for kind, arr in taps.items():
+                # store in f32: np.savez round-trips ml_dtypes bfloat16 as a
+                # raw void dtype ("|V2") that poisons every later consumer
+                arr = np.asarray(arr, np.float32)
                 depth = arr.shape[0]
                 for blk in range(depth):
                     p = self._path(kind, blk, step)

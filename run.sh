@@ -84,3 +84,14 @@ python scripts/evaluate.py --depth 36 --resolution 512 $CKPT_ARGS_512 \
 
 # sharded eval on a dp×tp mesh: add  --dp 2 --tp 4
 # multi-host: add  --coordinator host0:8476 --num-hosts 2 --host-id $RANK
+
+# ---------------- Acceptance gate (one command) --------------------------
+# The whole protocol — calibration -> GALT -> 50k-image generation
+# (resumable) -> npz pack -> IS/FID/sFID/Precision/Recall -> verdict vs the
+# published table (BASELINE.md) — behind a single command; every stage
+# resumes from its on-disk artifact.  --tiny runs the same chain as a
+# smoke test in ~2 min on CPU.
+# python scripts/acceptance.py --recipe fp4 --depth 30 \
+#     --var-ckpt var_d30.pth --vae-ckpt vae_ch160v4096z32.pth \
+#     --inception-ckpt pt_inception-2015-12-05.pth \
+#     --ref-npz VIRTUAL_imagenet256_labeled.npz --with-fp16 --out acceptance/

@@ -1,0 +1,344 @@
+#!/usr/bin/env python
+"""One-command acceptance gate: checkpoints in, metric verdict out.
+
+The reference's de-facto acceptance test is a multi-script choreography —
+calibration (`evaluate.py:67-80`), GALT training (`learnable_transformation_
+{mat_qkv,fc1}_fp4.py`), 50k-image generation (`evaluate_fp_quant_transform_
+rotate.py:187-207`), npz packing (`pack_figs.py:8-24`), and the OpenAI
+evaluator (`openai_evaluator.py:26-59`) scoring IS/FID/sFID/Precision/Recall
+against `VIRTUAL_imagenet256_labeled.npz`, judged against the published
+table (BASELINE.md: FP4 full recipe FID 3.58 / IS 241.5, ΔFID ≤ +1.60 vs
+FP16's 1.98).  This runner chains every stage behind ONE command:
+
+  python scripts/acceptance.py --var-ckpt var_d30.pth --vae-ckpt vae.pth \
+      --inception-ckpt pt_inception-2015-12-05.pth \
+      --ref-npz VIRTUAL_imagenet256_labeled.npz --recipe fp4 --out acc/
+
+Every stage is resumable: calibration, GALT vectors, per-class PNG sets
+(the generation checkpoint granularity — eval/pipeline.py), packed npzs and
+extracted features are all skipped when their artifact already exists, so a
+crashed 50k run restarts where it stopped.  `--dp/--tp` shard generation
+over a device mesh.  `--with-fp16` also generates the bf16 set and scores
+the ΔFID/ΔIS columns (without it the absolute-threshold verdict still
+runs).  `--tiny` runs the whole chain on the depth-2 smoke config with
+random weights + random-Inception scoring in under two minutes
+(tests/test_cli.py exercises it) — the day real weights appear, the same
+command with real paths IS the acceptance run.
+
+Recipes (exact run.sh:4-25 flag sets):
+  fp4     W4A4 e2m1 per-group-128 + rotate + block_rotate + GALT + dual-grid fc2
+  fp4_kv6 fp4 + KV cache quantized at 6 bits (run.sh:4)
+  fp6     W6A6 e2m3 per-channel/per-token + rotate + block_rotate (run.sh:7)
+  fp6_kv6 fp6 + KV6 (run.sh:10)
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+# BASELINE.md table (readme_figs/1.png): published numbers for each recipe
+# plus the FP16 reference row the deltas are taken against.
+TARGETS = {
+    "fp16": {"fid": 1.98, "is": 302.0, "precision": 0.82, "recall": 0.60},
+    "fp4": {"fid": 3.58, "is": 241.5, "precision": 0.77, "recall": 0.60},
+    "fp4_kv6": {"fid": 3.64, "is": 241.3, "precision": 0.77, "recall": 0.60},
+    "fp6": {"fid": 2.03, "is": 295.0, "precision": 0.80, "recall": 0.61},
+    "fp6_kv6": {"fid": 2.00, "is": 296.8, "precision": 0.81, "recall": 0.61},
+}
+
+
+def recipe_config(name: str):
+    from fpqvar_tpu.config import QuantConfig
+
+    fp4 = QuantConfig(
+        enabled=True, w_bit=4, a_bit=4,
+        weight_quant="per_group", act_quant="per_group", act_sym=True,
+        weight_format="fp_e2", act_format="fp_e2",
+        fc2_format="fp_e1m2_neg_e2m1_pos",
+        rotate=True, block_rotate=True, transform=True)
+    fp6 = QuantConfig(
+        enabled=True, w_bit=6, a_bit=6,
+        weight_quant="per_channel", act_quant="per_token", act_sym=True,
+        weight_format="fp6_e2m3", act_format="fp6_e2m3",
+        fc2_format="fp6_int_neg_e2m3_pos",
+        rotate=True, block_rotate=True, transform=False)
+    return {
+        "fp4": fp4,
+        "fp4_kv6": fp4.replace(kv_bit=6),
+        "fp6": fp6,
+        "fp6_kv6": fp6.replace(kv_bit=6),
+    }[name]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--recipe", default="fp4", choices=list(TARGETS)[1:])
+    ap.add_argument("--depth", type=int, default=30)
+    ap.add_argument("--resolution", type=int, default=256,
+                    choices=[256, 512])
+    ap.add_argument("--tiny", action="store_true",
+                    help="depth-2 smoke config, random weights + random "
+                         "Inception; exercises the full chain in minutes")
+    ap.add_argument("--vae-ckpt", type=str, default=None)
+    ap.add_argument("--var-ckpt", type=str, default=None)
+    ap.add_argument("--inception-ckpt", type=str, default=None,
+                    help="pt_inception-2015-12-05 .pth (or 'random')")
+    ap.add_argument("--ref-npz", type=str, default=None,
+                    help="VIRTUAL_imagenet256_labeled.npz (images or "
+                         "features); default: score against the --with-fp16 "
+                         "set (deltas only)")
+    ap.add_argument("--out", type=str, required=True)
+    ap.add_argument("--num-img-per-class", type=int, default=50)
+    ap.add_argument("--classes", type=int, default=None,
+                    help="restrict to the first N classes (debug runs)")
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--with-fp16", action="store_true",
+                    help="also generate + score the bf16 set (ΔFID/ΔIS)")
+    ap.add_argument("--dp", type=int, default=1)
+    ap.add_argument("--tp", type=int, default=1)
+    ap.add_argument("--galt-epochs", type=int, default=50)
+    ap.add_argument("--calib-classes", type=int, default=100,
+                    help="calibration label count (reference cali_data_size)")
+    ap.add_argument("--fid-slack", type=float, default=0.5,
+                    help="pass if FID <= published + this")
+    ap.add_argument("--is-slack", type=float, default=0.05,
+                    help="pass if IS >= published * (1 - this)")
+    args = ap.parse_args()
+
+    import numpy as np
+
+    from fpqvar_tpu.utils.jit_cache import enable as _jc
+    _jc()
+    import jax
+    import jax.numpy as jnp
+
+    from fpqvar_tpu.config import GenerateConfig, QuantConfig, var_tiny, \
+        VARConfig, var_d36_512
+    from fpqvar_tpu.models import VARGenerator, build_vae_var
+    from fpqvar_tpu.quantize import quantize_var_params
+    from fpqvar_tpu.utils import checkpoint as C
+    from fpqvar_tpu.eval.pipeline import generate_eval_set
+    from fpqvar_tpu.eval.imaging import create_npz_from_sample_folder
+
+    t0 = time.time()
+    os.makedirs(args.out, exist_ok=True)
+
+    def stamp(msg):
+        print(f"[acceptance {time.time()-t0:7.1f}s] {msg}", flush=True)
+
+    # ---- model config + checkpoints --------------------------------------
+    if args.tiny:
+        cfg = var_tiny()
+        args.inception_ckpt = args.inception_ckpt or "random"
+        args.with_fp16 = True
+        if args.classes is None:
+            args.classes = 4
+        args.num_img_per_class = min(args.num_img_per_class, 2)
+        args.calib_classes = 4
+        args.galt_epochs = min(args.galt_epochs, 3)
+    elif args.resolution == 512:
+        cfg = var_d36_512()
+    else:
+        cfg = VARConfig(depth=args.depth)
+    qcfg = recipe_config(args.recipe)
+    gen_cfg = GenerateConfig(seed=args.seed)
+
+    if args.vae_ckpt and args.var_ckpt:
+        vae_p = C.convert_vqvae_state_dict(
+            C.load_torch_state_dict(args.vae_ckpt), cfg.vae)
+        var_p = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, jnp.bfloat16),
+            C.convert_var_state_dict(
+                C.load_torch_state_dict(args.var_ckpt), cfg))
+        smoke = False
+    else:
+        stamp("WARN: missing --vae-ckpt/--var-ckpt -> random init "
+              "(smoke mode; the verdict is pipeline-health only)")
+        vae_p, var_p = build_vae_var(jax.random.PRNGKey(0), cfg,
+                                     dtype=jnp.bfloat16)
+        smoke = True
+
+    classes = range(args.classes if args.classes else cfg.num_classes)
+    n_expected = len(classes) * args.num_img_per_class
+
+    # ---- stage 1+2: calibration + GALT (fp4 recipes only) -----------------
+    galt = None
+    if qcfg.transform:
+        from fpqvar_tpu.quantize import galt as G
+        from fpqvar_tpu.quantize.calibration import (CalibrationStore,
+                                                     capture_generation)
+
+        best_dir = os.path.join(args.out, "best_s")
+        try:
+            galt = G.load_best_s_pair(best_dir, qcfg.w_bit)
+            stamp(f"GALT vectors found in {best_dir} (resume)")
+        except FileNotFoundError:
+            calib_dir = os.path.join(args.out, "calib")
+            store = CalibrationStore(calib_dir)
+            if store.steps("mat_qkv", 0) == 0:
+                stamp(f"calibration capture: {args.calib_classes} classes")
+                labels = jnp.arange(args.calib_classes,
+                                    dtype=jnp.int32) % cfg.num_classes
+                bs = min(10, args.calib_classes)
+                for s in range(0, args.calib_classes, bs):
+                    taps = capture_generation(
+                        var_p, vae_p, cfg, labels[s:s + bs],
+                        jax.random.fold_in(jax.random.PRNGKey(args.seed), s))
+                    store.append_run(taps)
+            os.makedirs(best_dir, exist_ok=True)
+            pair = []
+            for kind in ("mat_qkv", "fc1"):
+                stamp(f"GALT training: {kind} fp{qcfg.w_bit} "
+                      f"({args.galt_epochs} epochs)")
+                s = G.train_galt(
+                    store, np.asarray(var_p["blocks"][f"{kind}_w"],
+                                      np.float32),
+                    kind, w_bit=qcfg.w_bit, epochs=args.galt_epochs)
+                G.save_best_s(os.path.join(
+                    best_dir, f"{kind}_best_s_fp{qcfg.w_bit}.npz"), s)
+                pair.append(s)
+            galt = tuple(pair)
+
+    # ---- stage 3: mesh + generation legs ---------------------------------
+    mesh = None
+    if args.dp * args.tp > 1:
+        from fpqvar_tpu.config import MeshConfig
+        from fpqvar_tpu.parallel import make_mesh, shard_params
+
+        mesh = make_mesh(MeshConfig(dp=args.dp, tp=args.tp))
+
+    def generate_leg(tag, leg_qcfg, leg_galt):
+        """Generate the leg's PNG set (resumable per class) and pack it;
+        returns the npz path.  Skipped entirely when the npz exists."""
+        fig_dir = os.path.join(args.out, f"figs_{tag}")
+        npz = fig_dir + ".npz"
+        if os.path.exists(npz):
+            stamp(f"{tag}: packed npz exists (resume)")
+            return npz
+        params = quantize_var_params(var_p, cfg, leg_qcfg, galt=leg_galt)
+        if mesh is not None:
+            from fpqvar_tpu.parallel import shard_params
+
+            params = shard_params(params, mesh)
+        stamp(f"{tag}: generating {n_expected} images -> {fig_dir}")
+        generate_eval_set(
+            VARGenerator(cfg, leg_qcfg, gen_cfg, mesh=mesh), params, vae_p,
+            fig_dir, num_img_per_class=args.num_img_per_class,
+            classes=classes, seed=args.seed, batch=args.batch, mesh=mesh)
+        packed = create_npz_from_sample_folder(fig_dir, expected=n_expected)
+        assert packed == npz, (packed, npz)
+        return npz
+
+    sample_npz = generate_leg(args.recipe, qcfg, galt)
+    fp16_npz = None
+    if args.with_fp16:
+        fp16_npz = generate_leg("fp16", QuantConfig(), None)
+
+    ref = args.ref_npz or fp16_npz
+    if ref is None:
+        raise SystemExit("need --ref-npz (or --with-fp16 to score against "
+                         "the bf16 set)")
+
+    # ---- stage 4: features + metrics -------------------------------------
+    if args.inception_ckpt == "random":
+        from fpqvar_tpu.eval.inception import init_inception_params
+
+        stamp("WARN: random Inception weights -> metric values are "
+              "pipeline-health only")
+        inc_p = init_inception_params(jax.random.PRNGKey(0))
+    elif args.inception_ckpt:
+        import torch
+
+        from fpqvar_tpu.eval.inception import convert_inception_state_dict
+
+        sd = torch.load(args.inception_ckpt, map_location="cpu",
+                        weights_only=False)
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+        inc_p = convert_inception_state_dict(
+            {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")})
+    else:
+        raise SystemExit("need --inception-ckpt (.pth or 'random')")
+
+    from fpqvar_tpu.eval.inception import extract_features_batched
+    from fpqvar_tpu.eval.metrics import evaluate_all
+
+    def features(path, tag):
+        """Extract (and cache) pool3/spatial/probs features for an image
+        npz; feature npzs (the reference's precomputed-batch format) pass
+        through."""
+        cache = os.path.join(args.out, f"features_{tag}.npz")
+        if os.path.exists(cache):
+            d = np.load(cache)
+            return d["features"], d["spatial"], d["probs"]
+        d = np.load(path)
+        if "features" in d:
+            return (d["features"], d.get("spatial"), d.get("probs"))
+        imgs = d["arr_0"].transpose(0, 3, 1, 2)       # NHWC -> NCHW
+        stamp(f"{tag}: extracting Inception features for {len(imgs)} images")
+        f, s, pr = extract_features_batched(inc_p, imgs, batch=64)
+        np.savez(cache, features=f, spatial=s, probs=pr)
+        return f, s, pr
+
+    ref_f, ref_s, _ = features(ref, "ref")
+    sam_f, sam_s, sam_p = features(sample_npz, args.recipe)
+    metrics = evaluate_all(ref_f, sam_f, ref_s, sam_s, sam_p)
+    fp16_metrics = None
+    if fp16_npz and fp16_npz != ref:
+        f16_f, f16_s, f16_p = features(fp16_npz, "fp16")
+        fp16_metrics = evaluate_all(ref_f, f16_f, ref_s, f16_s, f16_p)
+
+    # ---- stage 5: verdict -------------------------------------------------
+    tgt = TARGETS[args.recipe]
+    checks = {
+        "fid_within_published": metrics["fid"] <= tgt["fid"]
+        + args.fid_slack,
+        "is_within_published": metrics["inception_score"]
+        >= tgt["is"] * (1 - args.is_slack),
+    }
+    deltas = None
+    if fp16_metrics is not None:
+        # the published acceptance delta: quantized-vs-FP16 FID gap must not
+        # exceed the paper's own gap (+ slack) — BASELINE.md acceptance rows
+        dfid_budget = tgt["fid"] - TARGETS["fp16"]["fid"]
+        deltas = {
+            "dfid": metrics["fid"] - fp16_metrics["fid"],
+            "dfid_budget": dfid_budget,
+            "dis": metrics["inception_score"]
+            - fp16_metrics["inception_score"],
+        }
+        checks["dfid_within_budget"] = (
+            deltas["dfid"] <= dfid_budget + args.fid_slack)
+    verdict = {
+        "recipe": args.recipe,
+        "smoke_mode": smoke or args.inception_ckpt == "random",
+        "n_images": n_expected,
+        "metrics": {k: round(float(v), 4) for k, v in metrics.items()},
+        "fp16_metrics": {k: round(float(v), 4)
+                         for k, v in fp16_metrics.items()}
+        if fp16_metrics else None,
+        "deltas": {k: round(float(v), 4) for k, v in deltas.items()}
+        if deltas else None,
+        "published": tgt,
+        "checks": checks,
+        "pass": all(checks.values()),
+        "wall_s": round(time.time() - t0, 1),
+    }
+    if verdict["smoke_mode"]:
+        # random weights / random Inception: thresholds are meaningless, the
+        # verdict is "did every stage run and produce finite metrics"
+        finite = all(np.isfinite(list(metrics.values())))
+        verdict["checks"] = {"pipeline_finite_metrics": bool(finite)}
+        verdict["pass"] = bool(finite)
+    with open(os.path.join(args.out, "ACCEPTANCE.json"), "w") as f:
+        json.dump(verdict, f, indent=2)
+    print(json.dumps(verdict))
+    sys.exit(0 if verdict["pass"] else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -121,3 +121,28 @@ def test_evaluate_packed_ckpt_without_var_ckpt(tmp_path):
             "--classes", "0:1", "--num-img-per-class", 2, "--batch", 2,
             "--out", figs)
     assert len([f for f in os.listdir(figs) if f.endswith(".png")]) == 2
+
+
+def test_acceptance_runner_tiny(tmp_path):
+    """The one-command acceptance gate (scripts/acceptance.py): calibrate ->
+    GALT -> quantized + bf16 generation -> npz pack -> Inception features ->
+    all five metrics -> verdict JSON.  Tiny mode = random weights + random
+    Inception, so the asserted contract is pipeline health: every stage
+    artifact exists, metrics are finite, rc==0.  With real checkpoint paths
+    the SAME command is the reference's full acceptance protocol
+    (`evaluate_fp_quant_transform_rotate.py:187-207` -> `pack_figs.py` ->
+    `openai_evaluator.py:26-59` vs BASELINE.md)."""
+    out = tmp_path / "acc"
+    run_cli("acceptance.py", "--tiny", "--out", out)
+    v = json.loads((out / "ACCEPTANCE.json").read_text())
+    assert v["pass"] and v["smoke_mode"]
+    assert set(v["metrics"]) == {"inception_score", "fid", "sfid",
+                                 "precision", "recall"}
+    # stage artifacts: GALT vectors, both packed image sets, feature caches
+    assert (out / "best_s" / "mat_qkv_best_s_fp4.npz").exists()
+    assert (out / "figs_fp4.npz").exists()
+    assert (out / "figs_fp16.npz").exists()
+    assert (out / "features_fp4.npz").exists()
+    # resume: a second invocation must skip every stage (no regeneration)
+    r = run_cli("acceptance.py", "--tiny", "--out", out)
+    assert "resume" in r.stdout
