@@ -412,33 +412,15 @@ def main():
             qp_host_cache[mode_name] = disk_cached(tag, build_qp)
         return qp_host_cache[mode_name]
 
-    galt_j = tuple(jnp.asarray(g) for g in galt)
-
     def device_params(mode_name):
         """Synthesize the mode's param tree directly in device HBM: one
         jitted program fusing random init + the traced offline transform
-        (quantize.recipe.transform_blocks_traced).  Zero multi-GB uploads;
+        (quantize.recipe.synth_device_params).  Zero multi-GB uploads;
         compile is persistently cached (.jax_cache), so driver reruns pay
         milliseconds where BENCH_r03 paid 185-210s of device_put per mode."""
-        from fpqvar_tpu.quantize.recipe import transform_blocks_traced
+        from fpqvar_tpu.quantize.recipe import synth_device_params
 
-        qcfg_m = mode_cfgs[mode_name]
-
-        @jax.jit
-        def build(k):
-            p = init_var_params(k, cfg, dtype=jnp.bfloat16)
-            if mode_name == "bf16":
-                return p
-            p = dict(p)
-            p["blocks"] = transform_blocks_traced(
-                p["blocks"], cfg, qcfg_m, galt=galt_j)
-            if qcfg_m.backend == "fake":
-                p = jax.tree_util.tree_map(
-                    lambda a: a.astype(jnp.bfloat16)
-                    if a.dtype == jnp.float32 else a, p)
-            return p
-
-        return build(key)
+        return synth_device_params(cfg, mode_cfgs[mode_name], key, galt=galt)
 
     def run_suite(suite_modes, suite_batch, rounds, tag, pipelined=False):
         """``pipelined=True`` reports steady-state pipelined throughput

@@ -293,3 +293,39 @@ def transform_blocks_traced(
         al["w"] = wq(al["w"].astype(jnp.float32)).astype(al["w"].dtype)
         out["ada_lin"] = al
     return out
+
+
+def synth_device_params(cfg: VARConfig, qcfg: QuantConfig, key,
+                        galt: Optional[Tuple] = None):
+    """Random-init + transform a full VAR param tree DIRECTLY in device HBM
+    (one jitted program: init_var_params -> transform_blocks_traced).
+
+    The benchmark/diagnostic entry points (bench.py, latency_breakdown)
+    share this so none of them pays the remote-TPU relay's 60-100 MB/s
+    host upload (185-210s per d30 mode, BENCH_r03) — the device build is
+    milliseconds after a persistently cached compile.  Not for real
+    checkpoints: those come from disk via utils.checkpoint + the host-side
+    quantize_var_params bit-parity path.
+    """
+    import jax
+
+    from fpqvar_tpu.models.var import init_var_params
+
+    galt_j = (tuple(jnp.asarray(g, jnp.float32) for g in galt)
+              if galt is not None else None)
+
+    @jax.jit
+    def build(k):
+        p = init_var_params(k, cfg, dtype=jnp.bfloat16)
+        if not qcfg.enabled:
+            return p
+        p = dict(p)
+        p["blocks"] = transform_blocks_traced(
+            p["blocks"], cfg, qcfg, galt=galt_j)
+        if qcfg.backend == "fake":
+            p = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16)
+                if a.dtype == jnp.float32 else a, p)
+        return p
+
+    return build(key)

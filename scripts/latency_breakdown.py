@@ -1,23 +1,26 @@
 #!/usr/bin/env python
-"""Per-scale latency breakdown of one generation call.
+"""Per-scale latency breakdown and cross-mode attribution.
 
 Times each of the 10 scale-step programs (plus prepare and the VQVAE
 decode) separately via the engine's stepwise path, and the fused
-single-program path for reference.  Used to attribute the gap between the
-roofline floor (weight HBM + MXU time, ROUND_NOTES_r02.md) and the
-measured batch-1 step time: per-step rows show whether time concentrates
-in the late large-M scales (GEMM/weight-bound, expected) or is a flat
-per-step overhead (sampling, relay dispatch, cache plumbing).
+single-program path for reference — for ONE OR MORE modes in a single
+invocation, so the rows are directly comparable (same relay window) and a
+per-scale ratio table attributes where a quantized mode gives time back
+vs bf16: early scales are weight-HBM-bound (low-bit weights should win),
+late scales compute-bound (the int8 MXU chain should win per the
+kernel_roofline legs), and a flat per-step overhead points at sampling /
+cache plumbing / dispatch instead.
 
 Timing notes (see tpu-relay memory / bench.py): per-round MEDIAN per step;
 each step is forced by fetching f_hat (32 KB at batch 1) because
 block_until_ready through the axon relay can return before execution.
 The fetch adds one relay round-trip per step — measured identically in
 every row, so rows are comparable with each other and their sum slightly
-overstates the fused call.
+overstates the fused call.  Param trees are synthesized in device HBM
+(quantize.recipe.synth_device_params) — no multi-GB relay uploads.
 
-Usage: python scripts/latency_breakdown.py [--mode bf16|w4a16|int8chs]
-           [--batch 1] [--rounds 15] [--preset d30|d16|tiny]
+Usage: python scripts/latency_breakdown.py [--modes bf16,int8chs,...]
+           [--batch 8] [--rounds 15] [--preset d30|d16|tiny]
 """
 import argparse
 import json
@@ -37,7 +40,7 @@ _enable_cache()
 
 
 def build_cfg(preset):
-    from fpqvar_tpu.config import VARConfig, VQVAEConfig
+    from fpqvar_tpu.config import VARConfig, VQVAEConfig, var_d36_512
 
     if preset == "tiny":
         return VARConfig(
@@ -47,6 +50,8 @@ def build_cfg(preset):
                             patch_nums=(1, 2, 3)))
     if preset == "d16":
         return VARConfig(depth=16)
+    if preset == "d36":
+        return var_d36_512()
     return VARConfig(depth=30)
 
 
@@ -60,56 +65,41 @@ def mode_qcfg(mode):
         "w4a16": fpqvar_w4a16(),
         "int8chs": base.replace(backend="int8", weight_quant="per_channel",
                                 act_quant="per_token", fc2_format="fp_e2"),
+        # int8chs minus the online rotation + GALT multiply: the pair
+        # (int8chs, int8chsnr) isolates what the online transforms cost
+        # per scale
+        "int8chsnr": base.replace(backend="int8",
+                                  weight_quant="per_channel",
+                                  act_quant="per_token", fc2_format="fp_e2",
+                                  rotate=False, transform=False),
+        "int8kv": base.replace(backend="int8", weight_quant="per_channel",
+                               act_quant="per_token", kv_bit=4,
+                               kv_backend="packed"),
+        "int8att": base.replace(backend="int8", weight_quant="per_channel",
+                                act_quant="per_token", kv_bit=4,
+                                kv_backend="packed", attn_int8=True),
     }[mode]
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--preset", default="d30", choices=["tiny", "d16", "d30"])
-    ap.add_argument("--mode", default="bf16",
-                    choices=["bf16", "fake", "w4a16", "int8chs"])
-    ap.add_argument("--batch", type=int, default=1)
-    ap.add_argument("--rounds", type=int, default=15)
-    args = ap.parse_args()
-
+def measure_mode(cfg, mode, vae_p, batch, rounds, key):
     from fpqvar_tpu.config import GenerateConfig
     from fpqvar_tpu.models import VARGenerator
-    from fpqvar_tpu.models.var import init_kv_cache, init_var_params
-    from fpqvar_tpu.models.vqvae import init_vqvae_params
-    from fpqvar_tpu.quantize import quantize_var_params
+    from fpqvar_tpu.models.var import init_kv_cache
+    from fpqvar_tpu.quantize.recipe import synth_device_params
 
-    cfg = build_cfg(args.preset)
-    qcfg = mode_qcfg(args.mode)
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        var_p = init_var_params(jax.random.PRNGKey(0), cfg,
-                                dtype=jnp.bfloat16)
-        vae_p = init_vqvae_params(jax.random.PRNGKey(1), cfg.vae)
-        vae_p = jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16)
-            if x.dtype == jnp.float32 else x, vae_p)
-    if args.mode != "bf16":
+    qcfg = mode_qcfg(mode)
+    galt = None
+    if qcfg.transform:
         galt = (np.ones((cfg.depth, cfg.width), np.float32),
                 np.ones((cfg.depth, cfg.width), np.float32))
-        var_host = jax.tree_util.tree_map(np.asarray, var_p)
-        var_p = quantize_var_params(var_host, cfg, qcfg, galt=galt)
-        if qcfg.backend == "fake":
-            var_p = jax.tree_util.tree_map(
-                lambda a: a.astype(jnp.bfloat16)
-                if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
-                var_p)
-    dev = jax.devices()[0]
-    params = jax.device_put(
-        jax.tree_util.tree_map(np.asarray, var_p), dev)
-    vae_p = jax.device_put(vae_p, dev)
+    params = synth_device_params(cfg, qcfg, key, galt=galt)
+    for leaf in jax.tree_util.tree_leaves(params):
+        if hasattr(leaf, "block_until_ready"):
+            leaf.block_until_ready()
 
-    b = args.batch
+    b = batch
     label = jnp.arange(b, dtype=jnp.int32) % cfg.num_classes
-    key = jax.random.PRNGKey(0)
     genc = GenerateConfig()
-
-    # stepwise engine (per-scale programs) for the breakdown; fused for the
-    # end-to-end reference number
     eng = VARGenerator(cfg, qcfg, genc, fuse_steps=False)
     fused = VARGenerator(cfg, qcfg, genc)
 
@@ -123,8 +113,6 @@ def main():
         """Run the stepwise chain once; append per-stage seconds."""
         pass_no[0] += 1
         k = jax.random.fold_in(jax.random.fold_in(key, salt), pass_no[0])
-        # salt the transformer input too: prepare/scale0 consume (params,
-        # label, x) before any sampling key enters the chain
         lbl = (label + pass_no[0]) % cfg.num_classes
         t0 = time.perf_counter()
         cond_BD, mod, lvl_pos, x = eng._prepare(params=params, label_B=lbl)
@@ -153,7 +141,7 @@ def main():
     rec = {}
     one_pass(rec)  # compile
     rec = {}
-    for _ in range(args.rounds):
+    for _ in range(rounds):
         one_pass(rec)
 
     # fused end-to-end (same per-process salt: deterministic keys would be
@@ -162,22 +150,75 @@ def main():
     img = fused.generate(params, vae_p, label, fkey)
     jax.device_get(img[:, 0, 0, 0])
     dts = []
-    for i in range(args.rounds):
+    for i in range(rounds):
         t0 = time.perf_counter()
         img = fused.generate(params, vae_p, label,
                              jax.random.fold_in(fkey, i))
         jax.device_get(img[:, 0, 0, 0])
         dts.append(time.perf_counter() - t0)
 
+    for leaf in jax.tree_util.tree_leaves(params):
+        if hasattr(leaf, "delete"):
+            leaf.delete()
     rows = {k: round(float(np.median(v)) * 1e3, 3) for k, v in rec.items()}
-    total_stepwise = round(sum(rows.values()), 3)
     fused_ms = round(float(np.median(dts)) * 1e3, 3)
+    return rows, fused_ms
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="d30",
+                    choices=["tiny", "d16", "d30", "d36"])
+    ap.add_argument("--modes", default="bf16",
+                    help="comma list from bf16,fake,w4a16,int8chs,"
+                         "int8chsnr,int8kv,int8att; first mode is the "
+                         "ratio denominator")
+    ap.add_argument("--mode", default=None, help="legacy alias for --modes")
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--rounds", type=int, default=15)
+    args = ap.parse_args()
+    modes = (args.mode or args.modes).split(",")
+
+    from fpqvar_tpu.models.vqvae import init_vqvae_params
+
+    cfg = build_cfg(args.preset)
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def _vae_init(k):
+        p = init_vqvae_params(k, cfg.vae)
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, p)
+
+    vae_p = _vae_init(jax.random.PRNGKey(1))
+
+    per_mode, fused = {}, {}
+    for mode in modes:
+        t0 = time.perf_counter()
+        rows, fused_ms = measure_mode(cfg, mode, vae_p, args.batch,
+                                      args.rounds, key)
+        per_mode[mode], fused[mode] = rows, fused_ms
+        print(f"# {mode}: stepwise sum {sum(rows.values()):.1f} ms, fused "
+              f"{fused_ms:.1f} ms (wall {time.perf_counter()-t0:.0f}s)",
+              file=sys.stderr, flush=True)
+
     out = {
-        "preset": args.preset, "mode": args.mode, "batch": b,
-        "rounds": args.rounds, "per_stage_ms": rows,
-        "stepwise_sum_ms": total_stepwise, "fused_call_ms": fused_ms,
-        "imgs_per_s_fused": round(b / (fused_ms / 1e3), 3),
+        "preset": args.preset, "batch": args.batch, "rounds": args.rounds,
+        "per_stage_ms": per_mode,
+        "stepwise_sum_ms": {m: round(sum(r.values()), 3)
+                            for m, r in per_mode.items()},
+        "fused_call_ms": fused,
+        "imgs_per_s_fused": {m: round(args.batch / (v / 1e3), 3)
+                             for m, v in fused.items()},
     }
+    if len(modes) > 1:
+        base = modes[0]
+        out["stage_ratio_vs_" + base] = {
+            m: {k: round(per_mode[m][k] / per_mode[base][k], 3)
+                for k in per_mode[base] if per_mode[m].get(k)}
+            for m in modes[1:]
+        }
     print(json.dumps(out, indent=1))
 
 
