@@ -85,9 +85,17 @@ def test_outliers_exist_in_captured_acts(planted):
 
 
 def test_quant_error_ladder_on_planted(planted):
-    """On the planted model, naive per-group FP4 must hurt measurably and
-    rotation must recover most of it — the end-to-end mechanism the
-    quality ladder's FID ordering rests on."""
+    """On the planted model, naive per-group FP4 must hurt measurably
+    (vs the unplanted model) and rotation must help.
+
+    Rotation-only recovery is PARTIAL here by construction: post-hoc
+    planting puts the exact inverse scales into the weight columns, so the
+    weight side carries anti-correlated tiny columns that rotation mixes
+    back into every lane (measured: act-side error 1.19e-6 -> 5.0e-7 under
+    rotation while weight-side grows 2.1e-7 -> 5.8e-7).  The quality
+    ladder therefore plants at INIT and lets training shape the weights
+    (scripts/quality_ladder.py --plant-outliers); this test pins the
+    transform-level mechanics only."""
     _, qp, _ = planted
     label = jnp.array([3, 7], jnp.int32)
     x = jax.random.normal(
@@ -110,4 +118,5 @@ def test_quant_error_ladder_on_planted(planted):
 
     naive = mse(base)
     rot = mse(base.replace(rotate=True, block_rotate=True))
-    assert rot < 0.5 * naive, (naive, rot)
+    assert naive > 5e-7, naive        # planting makes naive FP4 hurt
+    assert rot < 0.9 * naive, (naive, rot)
