@@ -114,7 +114,7 @@ def time_generate(gen, params, vae_params, label, key, rounds=3):
 
 
 def time_generate_pipelined(gen, params, vae_params, label, key,
-                            depth=10, windows=4):
+                            depth=10, windows=6):
     """Steady-state throughput: issue ``depth`` generation calls back-to-back
     and sync once per window.  Per-call sync charges every call a ~30-40 ms
     host<->relay round-trip (measured: the same cached bf16 d30 batch-1
@@ -511,12 +511,20 @@ def main():
                   f"exceeded before start)", file=sys.stderr, flush=True)
             return None, None
         rounds = max(args.rounds, 40) if args.full else args.rounds
-        # w4a16 FIRST: bf16 legs are never budget-skipped, so this order
-        # guarantees the (quant, bf16) pair needed for vs_baseline is
-        # captured even if the window dies right after two legs; int8chs
-        # (the recipe mode) rides whatever budget remains
-        res, lat = run_suite(["w4a16", "bf16", "int8chs", "bf16/2"],
-                             1, rounds, "b1:", pipelined=True)
+        # Alternated brackets: a bf16 leg before, between and after the two
+        # quant legs grounds the denominator in a 3-point mean and measures
+        # drift across the WHOLE suite (round-3 driver drift was 1.018 with
+        # a 2-point bracket).  w4a16 still precedes int8chs so a dying
+        # window keeps the (quant, bf16) headline pair — bf16 legs are
+        # never budget-skipped.
+        if args.preset == "d36":
+            # the 512x512 model's serving table (VERDICT r3 #5): the two
+            # latency modes plus the HBM-capacity recipe, bracketed
+            b1_modes = ["bf16", "w4a16", "bf16/2", "int8chs", "bf16/3",
+                        "int8kv", "bf16/4"]
+        else:
+            b1_modes = ["bf16", "w4a16", "bf16/2", "int8chs", "bf16/3"]
+        res, lat = run_suite(b1_modes, 1, rounds, "b1:", pipelined=True)
         if not any(k.split("/")[0] != "bf16" for k in res):
             return None, None   # budget ran out before any quant leg
         return res, lat
