@@ -144,9 +144,12 @@ def time_generate_pipelined(gen, params, vae_params, label, key,
 
 
 def peak_hbm_gb():
+    """Measured peak HBM, or None when the runtime exposes no memory stats
+    (the axon relay's memory_stats() is empty — never report a fake 0.0)."""
     try:
         stats = jax.devices()[0].memory_stats() or {}
-        return round(stats.get("peak_bytes_in_use", 0) / 2**30, 3)
+        peak = stats.get("peak_bytes_in_use")
+        return None if peak is None else round(peak / 2**30, 3)
     except Exception:
         return None
 
@@ -466,8 +469,10 @@ def main():
                 results[mode] = time_generate(gen, params, vae_p, lab, key,
                                               rounds)
             wgb, cgb = static_hbm_gb(params, cfg, qcfg_m, suite_batch)
+            peak = peak_hbm_gb()
+            peak_s = "n/a (relay)" if peak is None else f"{peak} GB"
             print(f"# {tag}{mode}: {results[mode]:.3f} images/sec{extra} "
-                  f"(peak HBM {peak_hbm_gb()} GB; static: weights {wgb} GB, "
+                  f"(peak HBM {peak_s}; static: weights {wgb} GB, "
                   f"KV cache {cgb} GB)", file=sys.stderr, flush=True)
             free(params)
         return (results, latency) if pipelined else results

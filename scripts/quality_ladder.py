@@ -101,6 +101,14 @@ def main():
     ap.add_argument("--stages", type=str, default=None,
                     help="comma list to restrict (bf16,fp4_naive,fp4_rot,"
                          "fp4_galt,fp4_full,fp6_full)")
+    ap.add_argument("--plant-outliers", type=int, default=16, metavar="N",
+                    help="plant N heavy-tailed activation channels at INIT "
+                         "(quantize.outliers, function-preserving) and let "
+                         "training shape the weights around them — the "
+                         "d30-like statistics that make the quant stages "
+                         "separate (round-3 ladder: no outliers -> every "
+                         "stage at the noise floor).  0 disables")
+    ap.add_argument("--outlier-scale", type=float, default=32.0)
     args = ap.parse_args()
 
     import optax
@@ -130,6 +138,23 @@ def main():
 
     vae_p = init_vqvae_params(jax.random.PRNGKey(0), cfg.vae)
     var_p = init_var_params(jax.random.PRNGKey(1), cfg)
+    outlier_s = None
+    if args.plant_outliers:
+        # plant BEFORE training: the invariance transform seeds hot
+        # channels; training then shapes the consuming weights around them
+        # (the realistic outlier origin — post-hoc planting instead leaves
+        # exact anti-correlated weight columns, tests/test_outlier_planting)
+        from fpqvar_tpu.quantize.outliers import (outlier_scale_vector,
+                                                  plant_activation_outliers)
+
+        outlier_s = outlier_scale_vector(
+            cfg.width, num_hot=args.plant_outliers,
+            max_scale=args.outlier_scale, seed=13)
+        var_p = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, jnp.float32), var_p)
+        var_p, _ = plant_activation_outliers(var_p, cfg, outlier_s)
+        var_p = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, jnp.float32), var_p)
 
     # ---- data + tokenization --------------------------------------------
     imgs, labels = synth_images(11, args.train_n, args.classes, img_size)
@@ -166,6 +191,21 @@ def main():
     calib_labels = jnp.asarray(rng.integers(0, args.classes, 32), jnp.int32)
     taps = capture_generation(var_p, vae_p, cfg, calib_labels,
                               jax.random.PRNGKey(7))
+    outlier_ratio = {}
+    if outlier_s is not None:
+        # did the planted channels survive training?  hot/cold per-channel
+        # absmax ratio of the captured mat_qkv/fc1 inputs (the tensors the
+        # act quantizers see)
+        hot = outlier_s > 1.0
+        for kind in ("mat_qkv", "fc1"):
+            acts = np.concatenate(
+                [np.asarray(t[kind], np.float32).reshape(-1, cfg.width)
+                 for t in taps])
+            am = np.abs(acts).max(axis=0)
+            outlier_ratio[kind] = round(
+                float(am[hot].mean() / am[~hot].mean()), 2)
+        print(f"[{time.time()-t0:6.1f}s] planted-outlier hot/cold absmax "
+              f"ratio after training: {outlier_ratio}", flush=True)
     tmp = tempfile.mkdtemp(prefix="ladder_calib_")
     store = CalibrationStore(tmp)
     store.append_run(taps)
@@ -271,7 +311,10 @@ def main():
         "config": {"depth": args.depth, "width": args.width,
                    "classes": args.classes, "train_n": args.train_n,
                    "steps": args.steps, "eval_n": args.eval_n,
-                   "img_size": img_size, "patch_nums": list(pn)},
+                   "img_size": img_size, "patch_nums": list(pn),
+                   "plant_outliers": args.plant_outliers,
+                   "outlier_scale": args.outlier_scale},
+        "outlier_hot_cold_ratio_after_training": outlier_ratio or None,
         "note": "random-weight Inception features (relative metric); "
                 "reference set = VQVAE reconstructions of held-out data",
         "fid_noise_floor_same_set_split": round(float(fid_floor), 4),
