@@ -43,25 +43,10 @@ def main():
     from fpqvar_tpu.config import QuantConfig, VARConfig, fpqvar_w4a4, \
         fpqvar_w4a16
     from fpqvar_tpu.models import var as V
-    from fpqvar_tpu.models.var import init_var_params
-    from fpqvar_tpu.quantize import quantize_var_params
     from fpqvar_tpu.quantize.runtime import build_runtime
-    from fpqvar_tpu.utils import checkpoint as CKPT
 
     cfg = VARConfig(depth=30)
     b, l = 16, 256                       # cfg-doubled batch 8 at pn16
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "..", ".bench_cache")
-    os.makedirs(cache_dir, exist_ok=True)
-
-    base_path = os.path.join(cache_dir, "d30-base.npz")
-    if os.path.exists(base_path):
-        var_host = CKPT.load_params(base_path)
-    else:
-        var_host = jax.tree_util.tree_map(
-            np.asarray, init_var_params(jax.random.PRNGKey(0), cfg,
-                                        dtype=jnp.bfloat16))
-        CKPT.save_params(base_path, var_host)
 
     fp4 = fpqvar_w4a4()
     modes = {
@@ -81,25 +66,6 @@ def main():
     galt = (np.ones((cfg.depth, cfg.width), np.float32),
             np.ones((cfg.depth, cfg.width), np.float32))
 
-    import hashlib
-
-    def host_params(name):
-        qcfg = modes[name]
-        if name == "bf16":
-            return var_host
-        tag = hashlib.sha1(repr(qcfg).encode()).hexdigest()[:10]
-        path = os.path.join(cache_dir, f"d30-bisect-{name}-{tag}.npz")
-        if os.path.exists(path):
-            return CKPT.load_params(path)
-        qp = quantize_var_params(var_host, cfg, qcfg, galt=galt)
-        if qcfg.backend == "fake":
-            qp = jax.tree_util.tree_map(
-                lambda a: a.astype(jnp.bfloat16)
-                if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, qp)
-        qp = jax.tree_util.tree_map(np.asarray, qp)
-        CKPT.save_params(path, qp)
-        return qp
-
     key = jax.random.PRNGKey(0)
     x0 = jax.random.normal(key, (b, l, cfg.width), jnp.float32)
     mod0 = jax.random.normal(jax.random.fold_in(key, 1),
@@ -118,11 +84,15 @@ def main():
             return jax.lax.fori_loop(0, ITERS, body, (x, 0.0))[1]
         return run
 
+    from fpqvar_tpu.quantize.recipe import synth_device_params
+
     results = {}
     dev = jax.devices()[0]
     for name in modes:
         t0 = time.perf_counter()
-        params = jax.device_put(host_params(name), dev)
+        params = synth_device_params(
+            cfg, modes[name], jax.random.PRNGKey(0),
+            galt=galt if modes[name].transform else None)
         qrt = build_runtime(modes[name], cfg.depth, cfg.width)
         fn = make_loop(qrt)
         np.asarray(fn(params, x0, mod0))          # compile + warm
