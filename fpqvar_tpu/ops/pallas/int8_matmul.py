@@ -368,10 +368,19 @@ def _channel_dot(ac, asc, wc, ws):
     outer-product multiply amortized over the whole K depth.  Plain XLA —
     no Pallas needed.
 
-    asc [M, 1], ws [1, N]; exact: |codes| <= 60 (packing.CODE_MULT) so the
+    asc [..., 1], ws [1, N]; exact: |codes| <= 60 (packing.CODE_MULT) so the
     int32 dot is overflow-free to K ~ 5e5.
+
+    Accepts N-D ``ac`` ([..., K] codes, contraction over the last dim) and
+    this matters: reshaping to [M, K] before the dot makes XLA lay the 2D
+    dot out in isolation, and the 2D<->[B,l,H,c] boundaries around it then
+    lower to giant physical copies (measured at pn16 batch-8: a 35.9M-cycle
+    qkv reshape copy + 20.8M cycles of s8 transposes on the proj input —
+    the entire "int8chs loses the largest scales" regression, see
+    ROUND_NOTES_r04.md).  Keeping the model's natural [B, l, K] shape lets
+    the layout assignment fuse the chain exactly like the bf16 GEMMs.
     """
-    p = jax.lax.dot_general(ac, wc, (((1,), (0,)), ((), ())),
+    p = jax.lax.dot_general(ac, wc, (((ac.ndim - 1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32)
     return p.astype(jnp.float32) * asc * ws
 
@@ -467,15 +476,17 @@ def _wonly_dot(x2, wc, ws, group_size):
     """
     k_dim, n = wc.shape
     xb = x2.astype(jnp.bfloat16)
+    cdim = xb.ndim - 1          # N-D lhs: contract the last dim (see
+    #                             _channel_dot on why no [M, K] reshape)
     if group_size == k_dim:
         p = jax.lax.dot_general(xb, wc.astype(jnp.bfloat16),
-                                (((1,), (0,)), ((), ())),
+                                (((cdim,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         return p * ws
     g = k_dim // group_size
     wdq = (wc.reshape(g, group_size, n).astype(jnp.float32)
            * ws[:, None, :]).astype(jnp.bfloat16).reshape(k_dim, n)
-    return jax.lax.dot_general(xb, wdq, (((1,), (0,)), ((), ())),
+    return jax.lax.dot_general(xb, wdq, (((cdim,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
 
 
@@ -540,26 +551,41 @@ def int8_linear(x, pw: P.IntPack, act_fmt: str = None, *,
     """
     n, k_dim = pw.shape[-2], pw.shape[-1]
     lead = x.shape[:-1]
-    x2 = x.reshape(-1, k_dim)
     if act_fmt == "bf16":
         out = None
         if mesh is not None and parallel is not None:
             out = _wonly_shard_mapped(
-                x2, pw.codes, pw.scales, mesh=mesh, parallel=parallel,
-                group_size=pw.group_size, n=n, k_dim=k_dim)
+                x.reshape(-1, k_dim), pw.codes, pw.scales, mesh=mesh,
+                parallel=parallel, group_size=pw.group_size, n=n,
+                k_dim=k_dim)
+            if out is not None:
+                out = out.reshape(lead + (n,))
         if out is None:
-            out = _wonly_dot(x2, pw.codes, pw.scales, pw.group_size)
-        return out.reshape(lead + (n,)).astype(x.dtype)
+            # N-D dot — no [M, K] reshape (see _channel_dot's layout note)
+            out = _wonly_dot(x, pw.codes, pw.scales, pw.group_size)
+        return out.astype(x.dtype)
     fmt = act_fmt or pw.fmt
-    ac, asc = P.quant_int_codes(x2, fmt, pw.group_size)
-    out = None
     if mesh is not None and parallel is not None:
+        x2 = x.reshape(-1, k_dim)
+        ac, asc = P.quant_int_codes(x2, fmt, pw.group_size)
         out = _shard_mapped(ac, asc, pw.codes, pw.scales, mesh=mesh,
                             parallel=parallel, group_size=pw.group_size,
                             n=n, k_dim=k_dim, force_jnp=force_jnp)
-    if out is None:
-        out = _call(ac, asc, pw.codes, pw.scales, group_size=pw.group_size,
-                    n=n, k_dim=k_dim, force_jnp=force_jnp)
+        if out is None:
+            out = _call(ac, asc, pw.codes, pw.scales,
+                        group_size=pw.group_size, n=n, k_dim=k_dim,
+                        force_jnp=force_jnp)
+        return out.reshape(lead + (n,)).astype(x.dtype)
+    if pw.group_size == k_dim:
+        # per-channel/per-token: quantize AND contract in the model's
+        # natural [..., K] shape — the 2D reshape was the source of the
+        # large-scale layout-copy regression (ROUND_NOTES_r04.md)
+        ac, asc = P.quant_int_codes(x, fmt, k_dim)
+        return _channel_dot(ac, asc, pw.codes, pw.scales).astype(x.dtype)
+    x2 = x.reshape(-1, k_dim)
+    ac, asc = P.quant_int_codes(x2, fmt, pw.group_size)
+    out = _call(ac, asc, pw.codes, pw.scales, group_size=pw.group_size,
+                n=n, k_dim=k_dim, force_jnp=force_jnp)
     return out.reshape(lead + (n,)).astype(x.dtype)
 
 
@@ -571,12 +597,15 @@ def int8_linear_dual(x, pw: P.IntPack, act_fmt: str, *,
     tiles (`quant_utils.py:380-451` semantics)."""
     n, k_dim = pw.shape[-2], pw.shape[-1]
     lead = x.shape[:-1]
-    x2 = x.reshape(-1, k_dim)
+    nd_single = mesh is None and pw.group_size == k_dim
+    x2 = x if nd_single else x.reshape(-1, k_dim)   # N-D when possible
     cn, sn, cp, sp = P.quant_int_codes_dual(x2, act_fmt, pw.group_size)
     halves = []
     for c, s in ((cn, sn), (cp, sp)):
         out = None
-        if mesh is not None and parallel is not None:
+        if nd_single:
+            out = _channel_dot(c, s, pw.codes, pw.scales)
+        if out is None and mesh is not None and parallel is not None:
             out = _shard_mapped(c, s, pw.codes, pw.scales, mesh=mesh,
                                 parallel=parallel, group_size=pw.group_size,
                                 n=n, k_dim=k_dim, force_jnp=force_jnp)
@@ -585,4 +614,7 @@ def int8_linear_dual(x, pw: P.IntPack, act_fmt: str, *,
                         group_size=pw.group_size, n=n, k_dim=k_dim,
                         force_jnp=force_jnp)
         halves.append(out)
-    return (halves[0] + halves[1]).reshape(lead + (n,)).astype(x.dtype)
+    out = halves[0] + halves[1]
+    if not nd_single:
+        out = out.reshape(lead + (n,))
+    return out.astype(x.dtype)
