@@ -102,13 +102,23 @@ def main():
                     help="comma list to restrict (bf16,fp4_naive,fp4_rot,"
                          "fp4_galt,fp4_full,fp6_full)")
     ap.add_argument("--plant-outliers", type=int, default=16, metavar="N",
-                    help="plant N heavy-tailed activation channels at INIT "
-                         "(quantize.outliers, function-preserving) and let "
-                         "training shape the weights around them — the "
+                    help="plant N heavy-tailed activation channels "
+                         "(quantize.outliers, function-preserving) — the "
                          "d30-like statistics that make the quant stages "
                          "separate (round-3 ladder: no outliers -> every "
                          "stage at the noise floor).  0 disables")
     ap.add_argument("--outlier-scale", type=float, default=32.0)
+    ap.add_argument("--plant-when", choices=["init", "post"], default="post",
+                    help="init: plant before training (weights adapt; hot "
+                         "channels end up carrying the signal, which mutes "
+                         "end-to-end damage).  post: plant on the TRAINED "
+                         "model — trained information sits in every "
+                         "channel, the transform then migrates scale into "
+                         "the activations exactly like a SmoothQuant'd "
+                         "checkpoint run backwards; naive low-bit quant "
+                         "must crush the small-weight columns and the "
+                         "recipe (rotation + GALT trained on the planted "
+                         "captures) must migrate it back")
     args = ap.parse_args()
 
     import optax
@@ -139,22 +149,24 @@ def main():
     vae_p = init_vqvae_params(jax.random.PRNGKey(0), cfg.vae)
     var_p = init_var_params(jax.random.PRNGKey(1), cfg)
     outlier_s = None
+
+    def plant(params):
+        from fpqvar_tpu.quantize.outliers import plant_activation_outliers
+
+        params = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, jnp.float32), params)
+        params, _ = plant_activation_outliers(params, cfg, outlier_s)
+        return jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, jnp.float32), params)
+
     if args.plant_outliers:
-        # plant BEFORE training: the invariance transform seeds hot
-        # channels; training then shapes the consuming weights around them
-        # (the realistic outlier origin — post-hoc planting instead leaves
-        # exact anti-correlated weight columns, tests/test_outlier_planting)
-        from fpqvar_tpu.quantize.outliers import (outlier_scale_vector,
-                                                  plant_activation_outliers)
+        from fpqvar_tpu.quantize.outliers import outlier_scale_vector
 
         outlier_s = outlier_scale_vector(
             cfg.width, num_hot=args.plant_outliers,
             max_scale=args.outlier_scale, seed=13)
-        var_p = jax.tree_util.tree_map(
-            lambda a: jnp.asarray(a, jnp.float32), var_p)
-        var_p, _ = plant_activation_outliers(var_p, cfg, outlier_s)
-        var_p = jax.tree_util.tree_map(
-            lambda a: jnp.asarray(a, jnp.float32), var_p)
+        if args.plant_when == "init":
+            var_p = plant(var_p)
 
     # ---- data + tokenization --------------------------------------------
     imgs, labels = synth_images(11, args.train_n, args.classes, img_size)
@@ -186,6 +198,12 @@ def main():
             print(f"[{time.time()-t0:6.1f}s] step {it}: "
                   f"loss {float(metr['loss']):.4f}", flush=True)
     var_p = state.params
+    if outlier_s is not None and args.plant_when == "post":
+        # exact-invariance planting on the trained model: the bf16 leg's
+        # function (and FID) is unchanged, but every act quantizer now sees
+        # heavy-tailed channels and every weight quantizer anti-scaled
+        # columns — the imbalance the recipe exists to migrate
+        var_p = plant(var_p)
 
     # ---- calibration + GALT ----------------------------------------------
     calib_labels = jnp.asarray(rng.integers(0, args.classes, 32), jnp.int32)
