@@ -324,10 +324,10 @@ def main():
                                act_quant="per_token"),
         # int8chs: int8ch + single-grid fc2 acts.  Dual-grid fc2 needs TWO
         # int8 GEMMs (disjoint neg/pos codes share no scale), and fc2 is
-        # 4/12 of block GEMM flops — doubling it costs more than the int8
-        # rate buys (measured: int8ch 0.87x ~= fake 0.89x).  Single-grid
-        # fc2 keeps every GEMM at 1x count -> the full-throughput recipe;
-        # quality delta of dual-vs-single is ~10% logit MSE
+        # 4/12 of block GEMM flops; post the round-4 N-D contraction fix
+        # the dual-grid cost shrank to ~6% end-to-end at batch 8 (int8ch
+        # 0.989x vs int8chs 1.048x vs bf16, ROUND_NOTES_r04.md).
+        # Quality delta of dual-vs-single is ~10% logit MSE
         # (tests/test_recipe_ablation.py ladder).
         "int8chs": base.replace(backend="int8", weight_quant="per_channel",
                                 act_quant="per_token", fc2_format="fp_e2"),
@@ -375,12 +375,13 @@ def main():
     else:
         # driver-window default BATCH-8 suite (runs AFTER the batch-1
         # headline suite, budget permitting): bf16 bracket + int8chs (the
-        # act-quant recipe throughput mode).  w4a16 lives in the batch-1
-        # suite where it actually wins.  Each (mode, batch) is a distinct
-        # ~3-9 min warm-cache program load through the relay — the b1
-        # headline runs first so the driver window always captures it.
-        # `--full` for the research suite.
-        modes = ["bf16", "int8chs"]
+        # single-grid act-quant recipe) + int8kv (dual-grid fc2 + packed
+        # int8 KV — the full-quality recipe, and the fastest batch-8 mode:
+        # the int8-code cache halves attention reads at the late scales;
+        # measured 1.078x vs int8chs 1.048x, ROUND_NOTES_r04.md).  w4a16
+        # lives in the batch-1 suite where it leads.  `--full` for the
+        # research suite.
+        modes = ["bf16", "int8chs", "int8kv"]
 
     # The remote-TPU relay's throughput drifts up to 3-4x over minutes, and
     # at d30 batch 8 only ONE param set + program workspace fits in 16GB
