@@ -199,6 +199,10 @@ def main():
     ap.add_argument("--b1-only", action="store_true",
                     help="skip the batch-8 suite; run only the batch-1 "
                          "pipelined deployment measurement")
+    ap.add_argument("--b1-modes", type=str, default=None,
+                    help="override the batch-1 pipelined suite's mode list "
+                         "(comma list; bf16 bracket legs added around each "
+                         "quant leg automatically)")
     ap.add_argument("--full", action="store_true",
                     help="research suite: all modes, 12 rounds, 40-round "
                          "batch-1 legs, no wall-clock budget")
@@ -523,7 +527,13 @@ def main():
         # a 2-point bracket).  w4a16 still precedes int8chs so a dying
         # window keeps the (quant, bf16) headline pair — bf16 legs are
         # never budget-skipped.
-        if args.preset == "d36":
+        if args.b1_modes:
+            # custom list: alternate a bf16 bracket leg around each mode
+            b1_modes = ["bf16"]
+            for i, m in enumerate(args.b1_modes.split(",")):
+                if m.split("/")[0] != "bf16":
+                    b1_modes += [m, f"bf16/{i + 2}"]
+        elif args.preset == "d36":
             # the 512x512 model's serving table (VERDICT r3 #5): the two
             # latency modes plus the HBM-capacity recipe, bracketed
             b1_modes = ["bf16", "w4a16", "bf16/2", "int8chs", "bf16/3",
