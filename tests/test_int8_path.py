@@ -480,3 +480,32 @@ def test_fused_ch_kernel_zero_rows_interpret():
                               k_dim=k_dim, out_dtype=jnp.bfloat16,
                               interpret=True)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+@pytest.mark.quick
+def test_int8_linear_nd_matches_2d():
+    """The N-D (reshape-free) contraction paths must be BIT-equal to the
+    flattened-2D result: int32 dots are exact, so keeping the model's
+    [B, l, K] shape (the round-4 layout fix, ROUND_NOTES_r04.md) is purely
+    a scheduling change.  Covers per-channel int8, weights-only (per
+    channel + per group), and the dual-grid fc2 path."""
+    key = jax.random.PRNGKey(3)
+    b, l, k, n = 2, 5, 256, 384
+    x = jax.random.normal(key, (b, l, k), jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(key, 1), (n, k), jnp.float32)
+
+    for gs, fmt in ((k, "fp_e2"), (128, "fp_e2")):
+        pw = P.pack_int_codes(w, "fp_e2", group_size=gs)
+        y_nd = int8_linear(x, pw, fmt)
+        y_2d = int8_linear(x.reshape(-1, k), pw, fmt).reshape(b, l, n)
+        np.testing.assert_array_equal(np.asarray(y_nd), np.asarray(y_2d))
+        # weights-only (W4A16): bf16 dot over converted codes
+        y_nd = int8_linear(x, pw, "bf16")
+        y_2d = int8_linear(x.reshape(-1, k), pw, "bf16").reshape(b, l, n)
+        np.testing.assert_array_equal(np.asarray(y_nd), np.asarray(y_2d))
+
+    pw = P.pack_int_codes(w, "fp_e2", group_size=k)
+    y_nd = int8_linear_dual(x, pw, "fp_e1m2_neg_e2m1_pos")
+    y_2d = int8_linear_dual(
+        x.reshape(-1, k), pw, "fp_e1m2_neg_e2m1_pos").reshape(b, l, n)
+    np.testing.assert_array_equal(np.asarray(y_nd), np.asarray(y_2d))
