@@ -146,3 +146,20 @@ def test_acceptance_runner_tiny(tmp_path):
     # resume: a second invocation must skip every stage (no regeneration)
     r = run_cli("acceptance.py", "--tiny", "--out", out)
     assert "resume" in r.stdout
+
+
+def test_acceptance_runner_tiny_sharded(tmp_path):
+    """acceptance.py --dp 2 --tp 2 on 8 virtual CPU devices: the 50k
+    protocol's generation legs run dp-sharded with tp-sharded params —
+    the distributed path a real acceptance run on a pod slice would use."""
+    out = tmp_path / "acc"
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
+               XLA_FLAGS=(os.environ.get("XLA_FLAGS", "")
+                          + " --xla_force_host_platform_device_count=8"))
+    r = subprocess.run(
+        [sys.executable, os.path.join(SCRIPTS, "acceptance.py"), "--tiny",
+         "--dp", "2", "--tp", "2", "--out", str(out)],
+        capture_output=True, text=True, env=env, timeout=900)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    v = json.loads((out / "ACCEPTANCE.json").read_text())
+    assert v["pass"]
