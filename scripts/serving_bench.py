@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Serving latency/throughput benchmark for the continuous-batching server.
+
+Drives fpqvar_tpu.serving.GenerationServer (the deployment surface — the
+reference has no serving stack at all) with two load shapes and reports
+per-request latency percentiles plus sustained throughput as one JSON line:
+
+- unloaded: sequential requests, one in flight — the p50 here is the
+  floor a single user sees (includes the host<->relay round-trip);
+- saturated: an open-loop burst of --n requests — the server coalesces
+  batches of --max-batch and runs its depth-2 dispatch pipeline; p99 here
+  is queueing + batching delay under full load, and the throughput is the
+  serving-regime rate (compare with bench.py's batch-1 pipelined number).
+
+Params are synthesized on-device (quantize.recipe.synth_device_params) —
+no multi-GB relay uploads; requests carry per-process-salted seeds so the
+relay's (program, inputs) memoization cannot fake the numbers.
+
+Usage: python scripts/serving_bench.py [--preset d30] [--recipe w4a16]
+           [--n 48] [--max-batch 8] [--unloaded 8]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fpqvar_tpu.utils.jit_cache import enable as _enable_cache  # noqa: E402
+
+_enable_cache()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="d30",
+                    choices=["tiny", "d16", "d30", "d36"])
+    ap.add_argument("--recipe", default="w4a16",
+                    choices=["bf16", "w4a16", "int8chs", "int8kv"])
+    ap.add_argument("--n", type=int, default=48,
+                    help="saturation-burst request count")
+    ap.add_argument("--max-batch", type=int, default=8)
+    ap.add_argument("--max-wait-ms", type=float, default=30.0)
+    ap.add_argument("--unloaded", type=int, default=8,
+                    help="sequential single-request probes")
+    args = ap.parse_args()
+
+    from fpqvar_tpu.config import (GenerateConfig, QuantConfig, VARConfig,
+                                   fpqvar_w4a4, fpqvar_w4a16, var_d36_512,
+                                   var_tiny)
+    from fpqvar_tpu.models import VARGenerator
+    from fpqvar_tpu.models.vqvae import init_vqvae_params
+    from fpqvar_tpu.quantize.recipe import synth_device_params
+    from fpqvar_tpu.serving import GenerationServer
+
+    cfg = {"tiny": var_tiny, "d16": lambda: VARConfig(depth=16),
+           "d30": lambda: VARConfig(depth=30),
+           "d36": var_d36_512}[args.preset]()
+    base = fpqvar_w4a4()
+    qcfg = {
+        "bf16": QuantConfig(),
+        "w4a16": fpqvar_w4a16(),
+        "int8chs": base.replace(backend="int8", weight_quant="per_channel",
+                                act_quant="per_token", fc2_format="fp_e2"),
+        "int8kv": base.replace(backend="int8", weight_quant="per_channel",
+                               act_quant="per_token", kv_bit=4,
+                               kv_backend="packed"),
+    }[args.recipe]
+    galt = None
+    if qcfg.transform:
+        galt = (np.ones((cfg.depth, cfg.width), np.float32),
+                np.ones((cfg.depth, cfg.width), np.float32))
+    params = synth_device_params(cfg, qcfg, jax.random.PRNGKey(0), galt=galt)
+
+    @jax.jit
+    def _vae_init(k):
+        p = init_vqvae_params(k, cfg.vae)
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, p)
+
+    vae_p = _vae_init(jax.random.PRNGKey(1))
+    gen = VARGenerator(cfg, qcfg, GenerateConfig())
+    salt = int.from_bytes(os.urandom(4), "little") & 0x3FFFFFFF
+
+    server = GenerationServer(gen, params, vae_p, max_batch=args.max_batch,
+                              max_wait_ms=args.max_wait_ms)
+    # warm both compiled batch shapes (full batch + the single-row shape the
+    # unloaded probes use) outside the timed sections
+    server.submit(0, salt).result()
+    futs = [server.submit(i % cfg.num_classes, salt + 1000 + i)
+            for i in range(args.max_batch)]
+    for f in futs:
+        f.result()
+
+    # ---- unloaded latency (one request in flight) ------------------------
+    lat_unloaded = []
+    for i in range(args.unloaded):
+        t0 = time.perf_counter()
+        server.submit(i % cfg.num_classes, salt + 2000 + i).result()
+        lat_unloaded.append(time.perf_counter() - t0)
+
+    # ---- saturation burst ------------------------------------------------
+    t0 = time.perf_counter()
+    subs = []
+    for i in range(args.n):
+        subs.append((time.perf_counter(),
+                     server.submit(i % cfg.num_classes, salt + 4000 + i)))
+    lat_sat = []
+    for ts, fut in subs:
+        fut.result()
+        lat_sat.append(time.perf_counter() - ts)
+    wall = time.perf_counter() - t0
+    st = server.stats()
+    server.stop()
+
+    def pct(xs, q):
+        return round(float(np.percentile(np.asarray(xs), q)) * 1e3, 1)
+
+    out = {
+        "preset": args.preset, "recipe": args.recipe,
+        "max_batch": args.max_batch, "n": args.n,
+        "unloaded_ms": {"p50": pct(lat_unloaded, 50),
+                        "p90": pct(lat_unloaded, 90)},
+        "saturated_ms": {"p50": pct(lat_sat, 50), "p90": pct(lat_sat, 90),
+                         "p99": pct(lat_sat, 99)},
+        "saturated_imgs_per_s": round(args.n / wall, 3),
+        "batches": st["batches"], "pipelined": st["pipelined"],
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
