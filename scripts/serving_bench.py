@@ -16,7 +16,7 @@ Params are synthesized on-device (quantize.recipe.synth_device_params) —
 no multi-GB relay uploads; requests carry per-process-salted seeds so the
 relay's (program, inputs) memoization cannot fake the numbers.
 
-Usage: python scripts/serving_bench.py [--preset d30] [--recipe w4a16]
+Usage: python scripts/serving_bench.py [--preset d30] [--recipes bf16,w4a16]
            [--n 48] [--max-batch 8] [--unloaded 8]
 """
 import argparse
@@ -40,8 +40,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="d30",
                     choices=["tiny", "d16", "d30", "d36"])
-    ap.add_argument("--recipe", default="w4a16",
-                    choices=["bf16", "w4a16", "int8chs", "int8kv"])
+    ap.add_argument("--recipes", default="bf16,w4a16",
+                    help="comma list from bf16,w4a16,int8chs,int8kv — all "
+                         "measured in ONE process/window (the relay drifts "
+                         "1.1-8x between processes; only within-window "
+                         "ratios are meaningful)")
     ap.add_argument("--n", type=int, default=48,
                     help="saturation-burst request count")
     ap.add_argument("--max-batch", type=int, default=8)
@@ -62,7 +65,7 @@ def main():
            "d30": lambda: VARConfig(depth=30),
            "d36": var_d36_512}[args.preset]()
     base = fpqvar_w4a4()
-    qcfg = {
+    all_qcfg = {
         "bf16": QuantConfig(),
         "w4a16": fpqvar_w4a16(),
         "int8chs": base.replace(backend="int8", weight_quant="per_channel",
@@ -70,12 +73,7 @@ def main():
         "int8kv": base.replace(backend="int8", weight_quant="per_channel",
                                act_quant="per_token", kv_bit=4,
                                kv_backend="packed"),
-    }[args.recipe]
-    galt = None
-    if qcfg.transform:
-        galt = (np.ones((cfg.depth, cfg.width), np.float32),
-                np.ones((cfg.depth, cfg.width), np.float32))
-    params = synth_device_params(cfg, qcfg, jax.random.PRNGKey(0), galt=galt)
+    }
 
     @jax.jit
     def _vae_init(k):
@@ -85,9 +83,30 @@ def main():
             if x.dtype == jnp.float32 else x, p)
 
     vae_p = _vae_init(jax.random.PRNGKey(1))
-    gen = VARGenerator(cfg, qcfg, GenerateConfig())
     salt = int.from_bytes(os.urandom(4), "little") & 0x3FFFFFFF
 
+    results = {}
+    for recipe in args.recipes.split(","):
+        results[recipe] = run_recipe(
+            args, cfg, all_qcfg[recipe], vae_p, salt)
+        print(f"# {recipe}: {results[recipe]}", file=sys.stderr, flush=True)
+        salt += 100000
+    print(json.dumps({"preset": args.preset, "max_batch": args.max_batch,
+                      "n": args.n, "recipes": results}))
+
+
+def run_recipe(args, cfg, qcfg, vae_p, salt):
+    from fpqvar_tpu.config import GenerateConfig
+    from fpqvar_tpu.models import VARGenerator
+    from fpqvar_tpu.quantize.recipe import synth_device_params
+    from fpqvar_tpu.serving import GenerationServer
+
+    galt = None
+    if qcfg.transform:
+        galt = (np.ones((cfg.depth, cfg.width), np.float32),
+                np.ones((cfg.depth, cfg.width), np.float32))
+    params = synth_device_params(cfg, qcfg, jax.random.PRNGKey(0), galt=galt)
+    gen = VARGenerator(cfg, qcfg, GenerateConfig())
     server = GenerationServer(gen, params, vae_p, max_batch=args.max_batch,
                               max_wait_ms=args.max_wait_ms)
     # warm both compiled batch shapes (full batch + the single-row shape the
@@ -119,12 +138,14 @@ def main():
     st = server.stats()
     server.stop()
 
+    for leaf in jax.tree_util.tree_leaves(params):
+        if hasattr(leaf, "delete"):
+            leaf.delete()
+
     def pct(xs, q):
         return round(float(np.percentile(np.asarray(xs), q)) * 1e3, 1)
 
-    out = {
-        "preset": args.preset, "recipe": args.recipe,
-        "max_batch": args.max_batch, "n": args.n,
+    return {
         "unloaded_ms": {"p50": pct(lat_unloaded, 50),
                         "p90": pct(lat_unloaded, 90)},
         "saturated_ms": {"p50": pct(lat_sat, 50), "p90": pct(lat_sat, 90),
@@ -132,7 +153,6 @@ def main():
         "saturated_imgs_per_s": round(args.n / wall, 3),
         "batches": st["batches"], "pipelined": st["pipelined"],
     }
-    print(json.dumps(out))
 
 
 if __name__ == "__main__":
