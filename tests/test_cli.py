@@ -163,3 +163,16 @@ def test_acceptance_runner_tiny_sharded(tmp_path):
     assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
     v = json.loads((out / "ACCEPTANCE.json").read_text())
     assert v["pass"]
+
+
+def test_serving_bench_tiny(tmp_path):
+    """serving_bench.py: the within-window serving A/B produces latency
+    percentiles + throughput per recipe."""
+    r = run_cli("serving_bench.py", "--preset", "tiny", "--n", 8,
+                "--max-batch", 4, "--unloaded", 2,
+                "--recipes", "bf16,w4a16")
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    for recipe in ("bf16", "w4a16"):
+        rec = out["recipes"][recipe]
+        assert rec["saturated_imgs_per_s"] > 0
+        assert rec["saturated_ms"]["p99"] >= rec["saturated_ms"]["p50"]
