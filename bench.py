@@ -114,7 +114,7 @@ def time_generate(gen, params, vae_params, label, key, rounds=3):
 
 
 def time_generate_pipelined(gen, params, vae_params, label, key,
-                            depth=10, windows=6):
+                            depth=10, windows=8):
     """Steady-state throughput: issue ``depth`` generation calls back-to-back
     and sync once per window.  Per-call sync charges every call a ~30-40 ms
     host<->relay round-trip (measured: the same cached bf16 d30 batch-1
