@@ -238,8 +238,7 @@ def main():
     def over_budget(reserve=0.0):
         return time.perf_counter() - t_start > budget - reserve
 
-    from fpqvar_tpu.config import (GenerateConfig, QuantConfig, fpqvar_w4a4,
-                                   fpqvar_w4a16)
+    from fpqvar_tpu.config import GenerateConfig
     from fpqvar_tpu.models import VARGenerator
     from fpqvar_tpu.models.var import init_var_params
     from fpqvar_tpu.models.vqvae import init_vqvae_params
@@ -313,62 +312,16 @@ def main():
     # transform=True with unit vectors: random-init weights but the ONLINE
     # GALT multiply cost is included — the benched program is the full
     # flagship recipe, not a lighter variant
-    base = fpqvar_w4a4()
     galt = (np.ones((cfg.depth, cfg.width), np.float32),
             np.ones((cfg.depth, cfg.width), np.float32))
-    mode_cfgs = {
-        "bf16": QuantConfig(),
-        "fake": base,
-        "int8": base.replace(backend="int8"),
-        # int8ch: per-channel weight / per-token act scales -> ONE full-K
-        # int8 MXU dot per GEMM, scales applied once outside the
-        # contraction (corrected roofline ROUND_NOTES_r03.md: full-K int8
-        # 1.45x the bf16 GEMM rate, grouped-128 Pallas 0.98x)
-        "int8ch": base.replace(backend="int8", weight_quant="per_channel",
-                               act_quant="per_token"),
-        # int8chs: int8ch + single-grid fc2 acts.  Dual-grid fc2 needs TWO
-        # int8 GEMMs (disjoint neg/pos codes share no scale), and fc2 is
-        # 4/12 of block GEMM flops; post the round-4 N-D contraction fix
-        # the dual-grid cost shrank to ~6% end-to-end at batch 8 (int8ch
-        # 0.989x vs int8chs 1.048x vs bf16, ROUND_NOTES_r04.md).
-        # Quality delta of dual-vs-single is ~10% logit MSE
-        # (tests/test_recipe_ablation.py ladder).
-        "int8chs": base.replace(backend="int8", weight_quant="per_channel",
-                                act_quant="per_token", fc2_format="fp_e2"),
-        # diagnostic leg: int8chs minus the online rotation + GALT multiply
-        # (weights quantized UNROTATED) — int8chs vs int8chsnr isolates what
-        # the online recipe transforms cost end-to-end at a given batch
-        "int8chsnr": base.replace(backend="int8",
-                                  weight_quant="per_channel",
-                                  act_quant="per_token", fc2_format="fp_e2",
-                                  rotate=False, transform=False),
-        "packed": base.replace(backend="packed"),
-        # weights-only FP4 (W4A16, config.fpqvar_w4a16): int8 weight codes
-        # per-channel, acts stay bf16 — no act-quant chain, half the weight
-        # HBM bytes; the batch-1 latency deployment mode (no rotate/GALT:
-        # those tame act outliers and acts are unquantized here)
-        "w4a16": fpqvar_w4a16(),
-        # packed weights-only: nibble-packed fp4 weight codes (4x less
-        # weight HBM than bf16, 2x less than w4a16's int8 codes), acts
-        # stay bf16 and feed the Pallas fused dequant-matmul directly.
-        # Probes whether the in-kernel decode cost eats the extra HBM
-        # saving in the batch-1 weight-memory-bound regime.
-        "w4a16p": fpqvar_w4a16().replace(backend="packed",
-                                         weight_quant="per_group"),
-        # int8ch GEMMs + packed int8 KV cache (per-token e2m1 codes +
-        # scales; the HBM-capacity recipe for d36-512's L=2240 cache —
-        # per-channel/per-token GEMM scales because per-group measured
-        # 0.61x at d36 batch 2 where full-K int8 runs ~0.87x)
-        "int8kv": base.replace(backend="int8", weight_quant="per_channel",
-                               act_quant="per_token", kv_bit=4,
-                               kv_backend="packed"),
-        # int8kv + int8 MXU attention contractions over the cached codes
-        # (q and the vs-folded softmax weights int8-quantized per row;
-        # QuantConfig.attn_int8) — attention is ~14% of d36 block flops
-        "int8att": base.replace(backend="int8", weight_quant="per_channel",
-                                act_quant="per_token", kv_bit=4,
-                                kv_backend="packed", attn_int8=True),
-    }
+    # ONE shared registry (config.bench_recipes) defines every mode so the
+    # throughput suite, latency breakdown, serving bench and block bisect
+    # can never measure different configs under the same name.  Per-mode
+    # rationale + measured ratios: config.bench_recipes docstring and
+    # ROUND_NOTES_r04.md.
+    from fpqvar_tpu.config import bench_recipes
+
+    mode_cfgs = bench_recipes()
     if args.modes:
         modes = args.modes.split(",")
     elif args.preset == "d36":
@@ -511,6 +464,10 @@ def main():
     # modes can only approach bf16 there — roofline in ROUND_NOTES_r02.md).
     want_b1 = args.b1_only or (
         args.modes is None and args.batch is None and args.preset == "d30")
+    if args.b1_modes and not want_b1:
+        ap.error("--b1-modes was given but the batch-1 suite would not run "
+                 "(it runs by default only for --preset d30, or with "
+                 "--b1-only; --modes/--batch disable it) — add --b1-only")
 
     def run_b1():
         if over_budget(reserve=60):

@@ -289,6 +289,52 @@ def fpqvar_w6a6() -> QuantConfig:
     )
 
 
+def bench_recipes() -> dict:
+    """The named execution modes every benchmark/diagnostic CLI shares
+    (bench.py, scripts/latency_breakdown.py, scripts/serving_bench.py,
+    scripts/block_bisect.py).  ONE definition so a recipe tweak cannot make
+    two tools measure different configs under the same mode name.
+
+    Semantics (measured ratios in ROUND_NOTES_r04.md):
+      bf16      unquantized baseline
+      fake      exact fp4 W4A4 values, dense bf16 GEMMs (the parity path)
+      int8      grouped-128 int8 codes both sides (Pallas kernel)
+      int8ch    per-channel/per-token scales -> full-K int8 MXU dots,
+                dual-grid fc2 (the paper's full recipe on the int8 backend)
+      int8chs   int8ch with single-grid fc2 (every GEMM 1x count)
+      int8chsnr int8chs minus online rotation + GALT (diagnostic)
+      packed    nibble-packed weights, Pallas fused dequant+matmul
+      w4a16     weights-only int8 codes, bf16 acts (batch-1 serving mode)
+      w4a16p    weights-only nibble-packed codes (capacity probe)
+      int8kv    int8ch + packed int8 KV cache (fastest batch>=8 mode)
+      int8att   int8kv + int8 MXU attention contractions
+    """
+    base = fpqvar_w4a4()
+    return {
+        "bf16": QuantConfig(),
+        "fake": base,
+        "int8": base.replace(backend="int8"),
+        "int8ch": base.replace(backend="int8", weight_quant="per_channel",
+                               act_quant="per_token"),
+        "int8chs": base.replace(backend="int8", weight_quant="per_channel",
+                                act_quant="per_token", fc2_format="fp_e2"),
+        "int8chsnr": base.replace(backend="int8",
+                                  weight_quant="per_channel",
+                                  act_quant="per_token", fc2_format="fp_e2",
+                                  rotate=False, transform=False),
+        "packed": base.replace(backend="packed"),
+        "w4a16": fpqvar_w4a16(),
+        "w4a16p": fpqvar_w4a16().replace(backend="packed",
+                                         weight_quant="per_group"),
+        "int8kv": base.replace(backend="int8", weight_quant="per_channel",
+                               act_quant="per_token", kv_bit=4,
+                               kv_backend="packed"),
+        "int8att": base.replace(backend="int8", weight_quant="per_channel",
+                                act_quant="per_token", kv_bit=4,
+                                kv_backend="packed", attn_int8=True),
+    }
+
+
 # ---------------------------------------------------------------------------
 # Generation / mesh
 # ---------------------------------------------------------------------------

@@ -43,8 +43,13 @@ def outlier_scale_vector(width: int, num_hot: int, max_scale: float,
     rng = np.random.default_rng(seed)
     s = np.ones(width, np.float32)
     hot = rng.choice(width, size=num_hot, replace=False)
-    s[hot] = np.logspace(0.5 * np.log10(max_scale), np.log10(max_scale),
-                         num_hot).astype(np.float32)
+    if num_hot == 1:
+        # np.logspace(num=1) returns only the START point — a single hot
+        # channel must still get the full max_scale
+        s[hot] = np.float32(max_scale)
+    else:
+        s[hot] = np.logspace(0.5 * np.log10(max_scale), np.log10(max_scale),
+                             num_hot).astype(np.float32)
     return s
 
 

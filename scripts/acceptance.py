@@ -177,9 +177,18 @@ def main():
             galt = G.load_best_s_pair(best_dir, qcfg.w_bit)
             stamp(f"GALT vectors found in {best_dir} (resume)")
         except FileNotFoundError:
+            import shutil
+
             calib_dir = os.path.join(args.out, "calib")
-            store = CalibrationStore(calib_dir)
-            if store.steps("mat_qkv", 0) == 0:
+            done_marker = os.path.join(calib_dir, "CAPTURE_COMPLETE")
+            if not os.path.exists(done_marker):
+                # all-or-nothing: a partial capture (crash mid-run) would
+                # otherwise silently train GALT on a fraction of the
+                # calibration set — wipe and recapture (append_run
+                # concatenates, so resuming the loop would double-count)
+                if os.path.isdir(calib_dir):
+                    shutil.rmtree(calib_dir)
+                store = CalibrationStore(calib_dir)
                 stamp(f"calibration capture: {args.calib_classes} classes")
                 labels = jnp.arange(args.calib_classes,
                                     dtype=jnp.int32) % cfg.num_classes
@@ -189,6 +198,11 @@ def main():
                         var_p, vae_p, cfg, labels[s:s + bs],
                         jax.random.fold_in(jax.random.PRNGKey(args.seed), s))
                     store.append_run(taps)
+                with open(done_marker, "w") as f:
+                    f.write(f"classes={args.calib_classes}\n")
+            else:
+                store = CalibrationStore(calib_dir)
+                stamp("calibration capture complete (resume)")
             os.makedirs(best_dir, exist_ok=True)
             pair = []
             for kind in ("mat_qkv", "fc1"):
@@ -270,7 +284,14 @@ def main():
     def features(path, tag):
         """Extract (and cache) pool3/spatial/probs features for an image
         npz; feature npzs (the reference's precomputed-batch format) pass
-        through."""
+        through.  The ref cache is keyed by the source path: re-running the
+        same --out with a different --ref-npz must not silently reuse the
+        previous reference's features."""
+        if tag == "ref":
+            import hashlib
+
+            tag = "ref_" + hashlib.sha1(
+                os.path.abspath(path).encode()).hexdigest()[:10]
         cache = os.path.join(args.out, f"features_{tag}.npz")
         if os.path.exists(cache):
             d = np.load(cache)
@@ -294,17 +315,27 @@ def main():
 
     # ---- stage 5: verdict -------------------------------------------------
     tgt = TARGETS[args.recipe]
+    dfid_budget = tgt["fid"] - TARGETS["fp16"]["fid"]
+    # IS is computed from the sample's own softmax features (no reference
+    # set involved), so the published-IS check is always meaningful
     checks = {
-        "fid_within_published": metrics["fid"] <= tgt["fid"]
-        + args.fid_slack,
         "is_within_published": metrics["inception_score"]
         >= tgt["is"] * (1 - args.is_slack),
     }
     deltas = None
+    if args.ref_npz is None:
+        # ref IS the fp16 set: metrics["fid"] measures quantized-vs-FP16
+        # distribution distance directly — gate it with the published
+        # delta budget, NOT the absolute published FID (which is scored
+        # against the ImageNet reference set and would trivially pass here)
+        checks["fid_vs_fp16_within_delta_budget"] = (
+            metrics["fid"] <= dfid_budget + args.fid_slack)
+    else:
+        checks["fid_within_published"] = (
+            metrics["fid"] <= tgt["fid"] + args.fid_slack)
     if fp16_metrics is not None:
         # the published acceptance delta: quantized-vs-FP16 FID gap must not
         # exceed the paper's own gap (+ slack) — BASELINE.md acceptance rows
-        dfid_budget = tgt["fid"] - TARGETS["fp16"]["fid"]
         deltas = {
             "dfid": metrics["fid"] - fp16_metrics["fid"],
             "dfid_budget": dfid_budget,

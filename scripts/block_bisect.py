@@ -40,28 +40,21 @@ ITERS = 20
 
 
 def main():
-    from fpqvar_tpu.config import QuantConfig, VARConfig, fpqvar_w4a4, \
-        fpqvar_w4a16
+    from fpqvar_tpu.config import VARConfig, bench_recipes
     from fpqvar_tpu.models import var as V
     from fpqvar_tpu.quantize.runtime import build_runtime
 
     cfg = VARConfig(depth=30)
     b, l = 16, 256                       # cfg-doubled batch 8 at pn16
 
-    fp4 = fpqvar_w4a4()
+    reg = bench_recipes()
     modes = {
-        "bf16": QuantConfig(),
-        "int8chs": fp4.replace(backend="int8", weight_quant="per_channel",
-                               act_quant="per_token", fc2_format="fp_e2"),
-        "int8chs_norot": fp4.replace(
-            backend="int8", weight_quant="per_channel",
-            act_quant="per_token", fc2_format="fp_e2",
-            rotate=False, block_rotate=False, transform=False),
-        "int8chs_nogalt": fp4.replace(
-            backend="int8", weight_quant="per_channel",
-            act_quant="per_token", fc2_format="fp_e2", transform=False),
-        "w4a16": fpqvar_w4a16(),
-        "fake": fp4,
+        "bf16": reg["bf16"],
+        "int8chs": reg["int8chs"],
+        "int8chs_norot": reg["int8chsnr"],
+        "int8chs_nogalt": reg["int8chs"].replace(transform=False),
+        "w4a16": reg["w4a16"],
+        "fake": reg["fake"],
     }
     galt = (np.ones((cfg.depth, cfg.width), np.float32),
             np.ones((cfg.depth, cfg.width), np.float32))

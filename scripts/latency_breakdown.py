@@ -56,29 +56,9 @@ def build_cfg(preset):
 
 
 def mode_qcfg(mode):
-    from fpqvar_tpu.config import QuantConfig, fpqvar_w4a4, fpqvar_w4a16
+    from fpqvar_tpu.config import bench_recipes
 
-    base = fpqvar_w4a4()
-    return {
-        "bf16": QuantConfig(),
-        "fake": base,
-        "w4a16": fpqvar_w4a16(),
-        "int8chs": base.replace(backend="int8", weight_quant="per_channel",
-                                act_quant="per_token", fc2_format="fp_e2"),
-        # int8chs minus the online rotation + GALT multiply: the pair
-        # (int8chs, int8chsnr) isolates what the online transforms cost
-        # per scale
-        "int8chsnr": base.replace(backend="int8",
-                                  weight_quant="per_channel",
-                                  act_quant="per_token", fc2_format="fp_e2",
-                                  rotate=False, transform=False),
-        "int8kv": base.replace(backend="int8", weight_quant="per_channel",
-                               act_quant="per_token", kv_bit=4,
-                               kv_backend="packed"),
-        "int8att": base.replace(backend="int8", weight_quant="per_channel",
-                                act_quant="per_token", kv_bit=4,
-                                kv_backend="packed", attn_int8=True),
-    }[mode]
+    return bench_recipes()[mode]
 
 
 def measure_mode(cfg, mode, vae_p, batch, rounds, key):
@@ -170,9 +150,8 @@ def main():
     ap.add_argument("--preset", default="d30",
                     choices=["tiny", "d16", "d30", "d36"])
     ap.add_argument("--modes", default="bf16",
-                    help="comma list from bf16,fake,w4a16,int8chs,"
-                         "int8chsnr,int8kv,int8att; first mode is the "
-                         "ratio denominator")
+                    help="comma list of config.bench_recipes names; first "
+                         "mode is the ratio denominator")
     ap.add_argument("--mode", default=None, help="legacy alias for --modes")
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--rounds", type=int, default=15)

@@ -41,7 +41,7 @@ def main():
     ap.add_argument("--preset", default="d30",
                     choices=["tiny", "d16", "d30", "d36"])
     ap.add_argument("--recipes", default="bf16,w4a16",
-                    help="comma list from bf16,w4a16,int8chs,int8kv — all "
+                    help="comma list of config.bench_recipes names — all "
                          "measured in ONE process/window (the relay drifts "
                          "1.1-8x between processes; only within-window "
                          "ratios are meaningful)")
@@ -53,27 +53,14 @@ def main():
                     help="sequential single-request probes")
     args = ap.parse_args()
 
-    from fpqvar_tpu.config import (GenerateConfig, QuantConfig, VARConfig,
-                                   fpqvar_w4a4, fpqvar_w4a16, var_d36_512,
+    from fpqvar_tpu.config import (VARConfig, bench_recipes, var_d36_512,
                                    var_tiny)
-    from fpqvar_tpu.models import VARGenerator
     from fpqvar_tpu.models.vqvae import init_vqvae_params
-    from fpqvar_tpu.quantize.recipe import synth_device_params
-    from fpqvar_tpu.serving import GenerationServer
 
     cfg = {"tiny": var_tiny, "d16": lambda: VARConfig(depth=16),
            "d30": lambda: VARConfig(depth=30),
            "d36": var_d36_512}[args.preset]()
-    base = fpqvar_w4a4()
-    all_qcfg = {
-        "bf16": QuantConfig(),
-        "w4a16": fpqvar_w4a16(),
-        "int8chs": base.replace(backend="int8", weight_quant="per_channel",
-                                act_quant="per_token", fc2_format="fp_e2"),
-        "int8kv": base.replace(backend="int8", weight_quant="per_channel",
-                               act_quant="per_token", kv_bit=4,
-                               kv_backend="packed"),
-    }
+    all_qcfg = bench_recipes()
 
     @jax.jit
     def _vae_init(k):
@@ -125,6 +112,7 @@ def run_recipe(args, cfg, qcfg, vae_p, salt):
         lat_unloaded.append(time.perf_counter() - t0)
 
     # ---- saturation burst ------------------------------------------------
+    st0 = server.stats()          # snapshot: report burst-only counters
     t0 = time.perf_counter()
     subs = []
     for i in range(args.n):
@@ -151,7 +139,10 @@ def run_recipe(args, cfg, qcfg, vae_p, salt):
         "saturated_ms": {"p50": pct(lat_sat, 50), "p90": pct(lat_sat, 90),
                          "p99": pct(lat_sat, 99)},
         "saturated_imgs_per_s": round(args.n / wall, 3),
-        "batches": st["batches"], "pipelined": st["pipelined"],
+        # burst-only deltas: warmup + unloaded probes would otherwise make
+        # n/batches understate the coalesced batch size
+        "batches": st["batches"] - st0["batches"],
+        "pipelined": st["pipelined"] - st0["pipelined"],
     }
 
 
