@@ -509,3 +509,20 @@ def test_int8_linear_nd_matches_2d():
     y_2d = int8_linear_dual(
         x.reshape(-1, k), pw, "fp_e1m2_neg_e2m1_pos").reshape(b, l, n)
     np.testing.assert_array_equal(np.asarray(y_nd), np.asarray(y_2d))
+import pytest
+
+@pytest.mark.quick
+def test_bench_recipe_registry_builds():
+    """Every named benchmark mode must resolve to a valid runtime at d30
+    width: the registry is shared by four measurement tools, so an invalid
+    combo would otherwise surface only mid-TPU-run."""
+    from fpqvar_tpu.config import VARConfig, bench_recipes
+    from fpqvar_tpu.quantize.runtime import build_runtime
+
+    cfg = VARConfig(depth=30)
+    reg = bench_recipes()
+    assert {"bf16", "fake", "int8", "int8ch", "int8chs", "int8chsnr",
+            "packed", "w4a16", "w4a16p", "int8kv", "int8att"} <= set(reg)
+    for name, qcfg in reg.items():
+        qrt = build_runtime(qcfg, cfg.depth, cfg.width)
+        assert qrt is not None, name
