@@ -126,8 +126,9 @@ def block_forward(
 ) -> Tuple[Array, Optional[Dict[str, Array]], Optional[Dict[str, Array]]]:
     """One AdaLNSelfAttn block (`basic_var.py:253-269`).
 
-    Returns (new x, updated (k, v) cache when caching, activation taps when
-    ``capture``).  Taps mirror the reference's calibration capture in the
+    Returns (new x, minimal KV-cache writes when caching — see the
+    ``kv_update`` comment below, applied in place by run_blocks — and
+    activation taps when ``capture``).  Taps mirror the reference's calibration capture in the
     baseline model package (`models/basic_var.py:56-61,144-150`): the inputs
     of mat_qkv, proj, fc1 and fc2 — recorded *after* smoothing/rotation/
     act-quant if those are enabled (for the baseline qrt=None they equal the
@@ -207,7 +208,17 @@ def block_forward(
     kv_update = None
     if cache is not None:
         # cache layouts: values/codes [B, L, H*c] (full-lane minor dim);
-        # packed scales [B, H, L] (head-major so the padded minor dim is L)
+        # packed scales [B, H, L] (head-major so the padded minor dim is L).
+        #
+        # ``kv_update`` is a dict of MINIMAL writes — leaf name -> (values,
+        # static start indices) covering only the rows this step appends
+        # (or, in kv_mode="reference", the rewritten prefix).  run_blocks
+        # applies them to the full [depth, ...] cache carried through its
+        # scan with in-place dynamic_update_slice; attention here reads
+        # prefix+new via concatenate.  (The previous design returned the
+        # FULL per-block cache through scan ys, which restacked the whole
+        # [depth, B, L, H*c] buffer every scale step — measured as the
+        # dominant non-GEMM copy cost in the fused generate's HLO.)
         end = cur + l
         codec = qrt.kv_codec if qrt is not None else None
         if codec is not None:
@@ -216,18 +227,20 @@ def block_forward(
             # for the reference's repeated cache re-fake-quantization)
             kc, ks = codec.encode(k)          # codes [B,l,H,c], s [B,l,H,1]
             vc, vs = codec.encode(v)
-            upd3 = lambda buf, val: jax.lax.dynamic_update_slice(  # noqa: E731
-                buf, val.astype(buf.dtype), (0, cur, 0))
-            upds = lambda buf, s: jax.lax.dynamic_update_slice(  # noqa: E731
-                buf, s[..., 0].transpose(0, 2, 1).astype(buf.dtype),
-                (0, 0, cur))
-            cache = {
-                "kc": upd3(cache["kc"], kc.reshape(b, l, c)),
-                "vc": upd3(cache["vc"], vc.reshape(b, l, c)),
-                "ks": upds(cache["ks"], ks),
-                "vs": upds(cache["vs"], vs),
+            kc3 = kc.reshape(b, l, c).astype(cache["kc"].dtype)
+            vc3 = vc.reshape(b, l, c).astype(cache["vc"].dtype)
+            ks2 = ks[..., 0].transpose(0, 2, 1).astype(cache["ks"].dtype)
+            vs2 = vs[..., 0].transpose(0, 2, 1).astype(cache["vs"].dtype)
+            kv_update = {
+                "kc": (kc3, (0, cur, 0)),
+                "vc": (vc3, (0, cur, 0)),
+                "ks": (ks2, (0, 0, cur)),     # [B, H, l]
+                "vs": (vs2, (0, 0, cur)),
             }
-            kv_update = cache
+            cat3 = lambda buf, new: jnp.concatenate(  # noqa: E731
+                [buf[:, :cur], new], axis=1)
+            cats = lambda buf, new: jnp.concatenate(  # noqa: E731
+                [buf[:, :, :cur], new], axis=2)
 
             if codec.value_codes:
                 # attention DIRECTLY over the int8 value codes: per-token
@@ -235,10 +248,10 @@ def block_forward(
                 # weights (V) — the dequantized cache is never
                 # materialized, halving cache read traffic and removing
                 # the per-step O(prefix) decode (VERDICT weak #2)
-                kcodes = cache["kc"][:, :end].reshape(b, end, heads, hd)
-                vcodes = cache["vc"][:, :end].reshape(b, end, heads, hd)
-                ks_all = cache["ks"][:, :, :end]      # [B, H, end] f32
-                vs_all = cache["vs"][:, :, :end]
+                kcodes = cat3(cache["kc"], kc3).reshape(b, end, heads, hd)
+                vcodes = cat3(cache["vc"], vc3).reshape(b, end, heads, hd)
+                ks_all = cats(cache["ks"], ks2)       # [B, H, end] f32
+                vs_all = cats(cache["vs"], vs2)
                 k_all = v_all = None
                 if qrt.attn_int8:
                     # both attention contractions as int8 MXU dots over the
@@ -281,15 +294,14 @@ def block_forward(
                         "bhlm,bmhc->blhc", pv, vcodes.astype(q.dtype)
                     ).reshape(b, l, heads * hd)
             else:
-                def _decode(codes3, scales_hl):
-                    codes = codes3[:, :end].reshape(b, end, heads, hd)
-                    s = scales_hl[:, :, :end].transpose(0, 2, 1)[..., None]
+                def _decode(codes_all, s_all):
+                    codes = codes_all.reshape(b, end, heads, hd)
+                    s = s_all.transpose(0, 2, 1)[..., None]
                     return codec.decode(codes, s).astype(q.dtype)
 
-                k_all = _decode(cache["kc"], cache["ks"])
-                v_all = _decode(cache["vc"], cache["vs"])
+                k_all = _decode(cat3(cache["kc"], kc3), cats(cache["ks"], ks2))
+                v_all = _decode(cat3(cache["vc"], vc3), cats(cache["vs"], vs2))
         else:
-            cache_k, cache_v = cache["k"], cache["v"]
             kv_q = qrt.kv_q if qrt is not None else None
 
             def _q_merged(buf_slice):
@@ -297,21 +309,29 @@ def block_forward(
                 x4 = buf_slice.reshape(b, -1, heads, hd)
                 return kv_q(x4).reshape(buf_slice.shape)
 
-            if kv_q is not None and qrt.kv_mode == "reference" and cur > 0:
-                # re-fake-quantize the whole existing cache before appending
-                # the raw new tokens (`basic_var.py:138-147,186-209`)
-                cache_k = cache_k.at[:, :cur].set(_q_merged(cache_k[:, :cur]))
-                cache_v = cache_v.at[:, :cur].set(_q_merged(cache_v[:, :cur]))
             k_store, v_store = k, v
             if kv_q is not None and qrt.kv_mode == "store":
                 k_store, v_store = kv_q(k), kv_q(v)
-            upd3 = lambda buf, val: jax.lax.dynamic_update_slice(  # noqa: E731
-                buf, val.reshape(b, l, c).astype(buf.dtype), (0, cur, 0))
-            cache_k = upd3(cache_k, k_store)
-            cache_v = upd3(cache_v, v_store)
-            kv_update = {"k": cache_k, "v": cache_v}
-            k_all = cache_k[:, :end].reshape(b, end, heads, hd).astype(q.dtype)
-            v_all = cache_v[:, :end].reshape(b, end, heads, hd).astype(q.dtype)
+            k3 = k_store.reshape(b, l, c).astype(cache["k"].dtype)
+            v3 = v_store.reshape(b, l, c).astype(cache["v"].dtype)
+            if kv_q is not None and qrt.kv_mode == "reference" and cur > 0:
+                # re-fake-quantize the whole existing cache before appending
+                # the raw new tokens (`basic_var.py:138-147,186-209`) — this
+                # mode inherently rewrites the prefix, so its update covers
+                # rows [0, end)
+                pk = _q_merged(cache["k"][:, :cur]).astype(cache["k"].dtype)
+                pv = _q_merged(cache["v"][:, :cur]).astype(cache["v"].dtype)
+                k_all3 = jnp.concatenate([pk, k3], axis=1)
+                v_all3 = jnp.concatenate([pv, v3], axis=1)
+                kv_update = {"k": (k_all3, (0, 0, 0)),
+                             "v": (v_all3, (0, 0, 0))}
+            else:
+                k_all3 = jnp.concatenate([cache["k"][:, :cur], k3], axis=1)
+                v_all3 = jnp.concatenate([cache["v"][:, :cur], v3], axis=1)
+                kv_update = {"k": (k3, (0, cur, 0)),
+                             "v": (v3, (0, cur, 0))}
+            k_all = k_all3.reshape(b, end, heads, hd).astype(q.dtype)
+            v_all = v_all3.reshape(b, end, heads, hd).astype(q.dtype)
     else:
         k_all, v_all = k, v
 
@@ -406,6 +426,25 @@ def run_blocks(
 ) -> Tuple[Array, Optional[Tuple[Array, Array]], Optional[Dict[str, Array]]]:
     blocks = params["blocks"]
     mixed = qrt is not None and qrt.mixed_act_q is not None
+    depth = jax.tree_util.tree_leaves(blocks)[0].shape[0]
+    # The KV cache travels through the scan CARRY (not xs/ys): each block
+    # reads its slice with a dynamic index and writes back only the newly
+    # appended rows with an in-place dynamic_update_slice at a static token
+    # offset — XLA keeps ONE cache buffer alive across all blocks and all
+    # scale steps of a fused generate.  (Routing the cache through scan ys
+    # restacked the full [depth, B, L, H*c] buffer every scale step; the
+    # optimized HLO showed those restacks + the layout flips between steps
+    # as ~the entire non-GEMM copy cost of generation.)
+    bidx = jnp.arange(depth, dtype=jnp.int32)
+
+    def _slice_cache(cf, i):
+        return {kn: jax.lax.dynamic_index_in_dim(v, i, 0, keepdims=False)
+                for kn, v in cf.items()}
+
+    def _apply_updates(cf, upd, i):
+        return {kn: jax.lax.dynamic_update_slice(
+                    cf[kn], upd[kn][0][None], (i,) + upd[kn][1])
+                for kn in cf}
 
     if mixed:
         # Mixed-format configs (`quant_utils.py:1256-1432`): the per-block
@@ -418,11 +457,13 @@ def run_blocks(
         vidx = jnp.asarray(qrt.mixed_idx, jnp.int32)
 
         def body(carry, xs):
-            xc = carry
             if cache is not None:
-                bp, m, ci, bi = xs
+                xc, cf = carry
+                bp, m, i, bi = xs
+                ci = _slice_cache(cf, i)
             else:
-                (bp, m, bi), ci = xs, None
+                xc, cf = carry, None
+                (bp, m, bi), ci, i = xs, None, None
 
             branches = [
                 (lambda q: lambda ops: block_forward(
@@ -431,28 +472,32 @@ def run_blocks(
                 for qv in variants
             ]
             xc, upd, taps = jax.lax.switch(bi, branches, (xc, bp, m, ci))
-            return xc, (upd, taps)
+            if cache is not None:
+                return (xc, _apply_updates(cf, upd, i)), taps
+            return xc, taps
 
         if remat:
             body = jax.checkpoint(body, prevent_cse=False)
         if cache is not None:
-            x, (new_cache, taps) = jax.lax.scan(
-                body, x, (blocks, mod, cache, vidx))
+            (x, new_cache), taps = jax.lax.scan(
+                body, (x, cache), (blocks, mod, bidx, vidx))
             return x, new_cache, taps
-        x, (_, taps) = jax.lax.scan(body, x, (blocks, mod, vidx))
+        x, taps = jax.lax.scan(body, x, (blocks, mod, vidx))
         return x, None, taps
 
     def body(carry, xs):
-        xc = carry
         if cache is not None:
-            bp, m, ci = xs
+            xc, cf = carry
+            bp, m, i = xs
+            ci = _slice_cache(cf, i)
             xc, upd, taps = block_forward(xc, bp, m, qrt, cfg, ci, cur,
                                           attn_bias, capture)
-            return xc, (upd, taps)
+            return (xc, _apply_updates(cf, upd, i)), taps
+        xc = carry
         bp, m = xs
         xc, _, taps = block_forward(xc, bp, m, qrt, cfg, None, cur,
                                     attn_bias, capture)
-        return xc, (None, taps)
+        return xc, taps
 
     if remat:
         # per-block rematerialization: backward recomputes each block's
@@ -463,10 +508,10 @@ def run_blocks(
         # checkpoint-inside-scan.
         body = jax.checkpoint(body, prevent_cse=False)
     if cache is not None:
-        x, (new_cache, taps) = jax.lax.scan(
-            body, x, (blocks, mod, cache))
+        (x, new_cache), taps = jax.lax.scan(
+            body, (x, cache), (blocks, mod, bidx))
         return x, new_cache, taps
-    x, (_, taps) = jax.lax.scan(body, x, (blocks, mod))
+    x, taps = jax.lax.scan(body, x, (blocks, mod))
     return x, None, taps
 
 
