@@ -134,8 +134,13 @@ def param_shardings(params, mesh: Mesh):
         is_leaf=lambda x: isinstance(x, (IntPack, PackedTensor)))
 
 
-def kv_cache_shardings(mesh: Mesh) -> NamedSharding:
-    # cache layout [depth, B, L, H*c]: batch over dp, merged heads over tp
+def kv_cache_shardings(mesh: Mesh, packed: bool = False) -> NamedSharding:
+    # dense cache [depth, B, L, H*c]: batch over dp, merged heads over tp.
+    # packed cache (codes [depth, B, H, L*hd] / scales [depth, B, H, L]):
+    # batch over dp, heads over tp (head-major layout — models/var.py
+    # init_kv_cache).
+    if packed:
+        return NamedSharding(mesh, P(None, "dp", "tp", None))
     return NamedSharding(mesh, P(None, "dp", None, "tp"))
 
 

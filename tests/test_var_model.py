@@ -406,7 +406,7 @@ def test_d36_512_full_recipe_shapes():
     assert nxt.shape == (2 * b, cfg.patch_nums[5] ** 2, cfg.width)
     assert f_hat_out.shape == (b, cfg.vae.z_channels, 32, 32)
     assert cache_out["kc"].shape == (
-        cfg.depth, 2 * b, cfg.L, cfg.heads * cfg.head_dim)
+        cfg.depth, 2 * b, cfg.heads, cfg.L * cfg.head_dim)
     assert cache_out["ks"].shape == (cfg.depth, 2 * b, cfg.heads, cfg.L)
 
 
