@@ -383,6 +383,45 @@ def main():
 
         return synth_device_params(cfg, mode_cfgs[mode_name], key, galt=galt)
 
+    # --- silent-mode-collapse guard (VERDICT r4 #3): every leg's rate is
+    # compared against the trailing median of its own history (persisted
+    # in .bench_cache/history.json, keyed by preset/mode/batch/regime).  A
+    # leg deviating >20% from its trailing median is re-measured once
+    # (budget permitting); if it still deviates it is published FLAGGED as
+    # SUSPECT in the metric detail — a poisoned leg can no longer ship as
+    # a silent 0.27x (the BENCH_r04 int8kv failure mode).  History is only
+    # appended for non-suspect legs so one bad window can't drag the
+    # median.
+    hist_path = os.path.join(cache_dir, "history.json")
+    try:
+        with open(hist_path) as fh:
+            leg_history = json.load(fh)
+    except Exception:
+        leg_history = {}
+    suspects = {}
+
+    def check_leg(leg_key, value, remeasure):
+        hist = leg_history.get(leg_key, [])[-5:]
+        trailing = float(np.median(hist)) if hist else None
+        deviant = (trailing is not None
+                   and not 0.8 <= value / trailing <= 1.2)
+        if deviant and not over_budget(reserve=30):
+            print(f"# {leg_key}: {value:.3f} deviates >20% from trailing "
+                  f"median {trailing:.3f}; re-measuring once",
+                  file=sys.stderr, flush=True)
+            value = remeasure()
+            deviant = not 0.8 <= value / trailing <= 1.2
+        if deviant:
+            suspects[leg_key] = trailing
+            print(f"# {leg_key}: SUSPECT {value:.3f} vs trailing median "
+                  f"{trailing:.3f}", file=sys.stderr, flush=True)
+        else:
+            leg_history.setdefault(leg_key, []).append(round(value, 4))
+            leg_history[leg_key] = leg_history[leg_key][-12:]
+            with open(hist_path, "w") as fh:
+                json.dump(leg_history, fh)
+        return value, deviant
+
     def run_suite(suite_modes, suite_batch, rounds, tag, pipelined=False):
         """``pipelined=True`` reports steady-state pipelined throughput
         (the serving number; hides the per-dispatch relay RTT) and prints
@@ -415,17 +454,21 @@ def main():
                   f"{'device_put' if args.host_params else 'device build'} "
                   f"{t_c - t_b:.1f}s", file=sys.stderr, flush=True)
             gen = VARGenerator(cfg, qcfg_m, gen_cfg)
+            leg_key = (f"{args.preset}:{base_name}:b{suite_batch}:"
+                       f"{'pipe' if pipelined else 'sync'}")
             extra = ""
             if pipelined:
-                results[mode] = time_generate_pipelined(
+                meas = lambda: time_generate_pipelined(  # noqa: E731
                     gen, params, vae_p, lab, key)
+                results[mode], _ = check_leg(leg_key, meas(), meas)
                 latency[mode] = time_generate(gen, params, vae_p, lab, key,
                                               rounds)
                 extra = (f" pipelined; per-call-sync {latency[mode]:.3f}"
                          f" images/sec")
             else:
-                results[mode] = time_generate(gen, params, vae_p, lab, key,
-                                              rounds)
+                meas = lambda: time_generate(  # noqa: E731
+                    gen, params, vae_p, lab, key, rounds)
+                results[mode], _ = check_leg(leg_key, meas(), meas)
             wgb, cgb = static_hbm_gb(params, cfg, qcfg_m, suite_batch)
             peak = peak_hbm_gb()
             peak_s = "n/a (relay)" if peak is None else f"{peak} GB"
@@ -526,13 +569,24 @@ def main():
         # bf16-only probe run (capacity_study uses these to bracket a
         # mode's max batch); report bf16 itself, ratio 1.
         best_name, ips_fp4 = "bf16", ips_bf16
-    detail = ", ".join(f"{k}={v:.3f}" for k, v in results.items())
+
+    def fmt_results(res_dict, suite_batch, pipelined):
+        parts = []
+        for k, v in res_dict.items():
+            lk = (f"{args.preset}:{k.split('/')[0]}:b{suite_batch}:"
+                  f"{'pipe' if pipelined else 'sync'}")
+            flag = (f" SUSPECT(trailing {suspects[lk]:.3f})"
+                    if lk in suspects else "")
+            parts.append(f"{k}={v:.3f}{flag}")
+        return ", ".join(parts)
+
+    detail = fmt_results(results, batch, False)
     res = "512x512" if args.preset == "d36" else "256x256"
 
     if b1 is not None:
         b1_bf16, b1_drift = bf16_stats(b1)
         detail += ("; batch-1 pipelined: "
-                   + ", ".join(f"{k}={v:.3f}" for k, v in b1.items())
+                   + fmt_results(b1, 1, True)
                    + f", b1_bf16_drift={b1_drift}"
                    + "; batch-1 per-call-sync: "
                    + ", ".join(f"{k}={v:.3f}" for k, v in b1_lat.items()))

@@ -87,6 +87,21 @@ class VARGenerator:
                 vq.decode(vae_params, cfg.vae, f_hat) + 1.0) * 0.5
         )
 
+        def _constrain_cache(cache):
+            """Pin the KV cache's mesh layout (batch over dp, heads over tp
+            for the packed head-major codes — parallel.kv_cache_shardings)
+            instead of leaving it to propagation from the params."""
+            if self.mesh is None or "tp" not in self.mesh.shape:
+                return cache
+            from fpqvar_tpu.parallel import kv_cache_shardings
+
+            sh = kv_cache_shardings(
+                self.mesh, packed=self.qrt.kv_codec is not None)
+            return jax.tree_util.tree_map(
+                lambda a: jax.lax.with_sharding_constraint(a, sh), cache)
+
+        self._constrain_cache = _constrain_cache
+
         def _fused(params, vae_qparams, label_B, key):
             b = label_B.shape[0]
             key = _fold0(key)                 # match the stepwise path
@@ -95,8 +110,8 @@ class VARGenerator:
             x = x.astype(compute_dtype)
             mod = mod.astype(compute_dtype)
             lvl_pos = lvl_pos.astype(compute_dtype)
-            cache = V.init_kv_cache(cfg, 2 * b, cache_dtype,
-                                    kv_codec=self.qrt.kv_codec)
+            cache = _constrain_cache(V.init_kv_cache(
+                cfg, 2 * b, cache_dtype, kv_codec=self.qrt.kv_codec))
             hw = cfg.patch_nums[-1]
             f_hat = jnp.zeros((b, cfg.vae.z_channels, hw, hw), jnp.float32)
             for st in self.statics:
@@ -129,6 +144,11 @@ class VARGenerator:
         lvl_pos = lvl_pos.astype(self.compute_dtype)
         cache = V.init_kv_cache(cfg, 2 * b, self.cache_dtype,
                                 kv_codec=self.qrt.kv_codec)
+        if self.mesh is not None and "tp" in self.mesh.shape:
+            from fpqvar_tpu.parallel import kv_cache_shardings
+
+            cache = jax.device_put(cache, kv_cache_shardings(
+                self.mesh, packed=self.qrt.kv_codec is not None))
         hw = cfg.patch_nums[-1]
         f_hat = jnp.zeros((b, cfg.vae.z_channels, hw, hw), jnp.float32)
         vae_q = vae_params["quantize"]

@@ -118,8 +118,9 @@ def block_forward(
     qrt,                           # QuantRuntime or None
     cfg: VARConfig,
     cache: Optional[Dict[str, Array]] = None,
-    # dense cache: {"k","v"} [B,H,L,c]; packed: {"kc","vc"} int8 codes +
-    # {"ks","vs"} [B,H,L,1] f32 scales (see QuantRuntime.kv_codec)
+    # dense cache: {"k","v"} [B, L, H*c]; packed: {"kc","vc"} int8 codes
+    # head-major [B, H, L*hd] + {"ks","vs"} [B, H, L] f32 scales (see
+    # QuantRuntime.kv_codec and init_kv_cache)
     cur: int = 0,                  # static: tokens already cached
     attn_bias: Optional[Array] = None,
     capture: bool = False,
@@ -207,8 +208,8 @@ def block_forward(
 
     kv_update = None
     if cache is not None:
-        # cache layouts: values/codes [B, L, H*c] (full-lane minor dim);
-        # packed scales [B, H, L] (head-major so the padded minor dim is L).
+        # cache layouts: dense values [B, L, H*c] (full-lane minor dim);
+        # packed codes head-major [B, H, L*hd]; packed scales [B, H, L].
         #
         # ``kv_update`` is a dict of MINIMAL writes — leaf name -> (values,
         # static start indices) covering only the rows this step appends
@@ -431,25 +432,47 @@ def run_blocks(
 ) -> Tuple[Array, Optional[Tuple[Array, Array]], Optional[Dict[str, Array]]]:
     blocks = params["blocks"]
     mixed = qrt is not None and qrt.mixed_act_q is not None
-    depth = jax.tree_util.tree_leaves(blocks)[0].shape[0]
-    # The KV cache travels through the scan CARRY (not xs/ys): each block
-    # reads its slice with a dynamic index and writes back only the newly
-    # appended rows with an in-place dynamic_update_slice at a static token
-    # offset — XLA keeps ONE cache buffer alive across all blocks and all
-    # scale steps of a fused generate.  (Routing the cache through scan ys
-    # restacked the full [depth, B, L, H*c] buffer every scale step; the
-    # optimized HLO showed those restacks + the layout flips between steps
-    # as ~the entire non-GEMM copy cost of generation.)
-    bidx = jnp.arange(depth, dtype=jnp.int32)
+    # KV-cache plumbing is HYBRID, chosen by cache type (same-window A/B,
+    # ROUND_NOTES_r05.md):
+    #
+    # - DENSE bf16 caches ride the scan CARRY: each block dynamic-indexes
+    #   its [B, L, H*c] slice and writes back only its newly appended rows
+    #   with an in-place dynamic_update_slice at a static token offset.
+    #   Measured fastest for bf16/int8chs/w4a16 (b8: carry 15.2/16.5 vs
+    #   xs/ys 14.1/15.0 img/s).
+    # - PACKED int8-code caches ride the scan's *xs* (scan slices each
+    #   [depth, ...] leaf per block — a read-only dynamic_slice), each
+    #   block emits ONLY its new rows through ys, and ONE static-offset
+    #   dynamic_update_slice per leaf applies the stacked updates outside
+    #   the scan.  A block's step-s writes are first read at step s+1, so
+    #   the cache never needs to be a carry.  Carrying the s8 code buffers
+    #   instead forced full-buffer copies inside every scan iteration — a
+    #   measured 5x collapse of the fused int8kv generate (b8: carry 4.1
+    #   vs xs/ys 14.0 img/s; the failure BENCH_r04 shipped).
+    #
+    # (The round-3 design — full-cache ys — restacked the whole
+    # [depth, B, L, H*c] buffer every scale step and lost to both.)
+    import os as _os
+    plumb = _os.environ.get("FPQVAR_KV_PLUMB", "auto")
+    if plumb == "auto":
+        plumb = "carry" if (cache is not None and "k" in cache) else "xs"
+    use_carry = cache is not None and plumb == "carry"
+    starts: Dict[str, tuple] = {}     # leaf -> static write offsets
 
-    def _slice_cache(cf, i):
-        return {kn: jax.lax.dynamic_index_in_dim(v, i, 0, keepdims=False)
-                for kn, v in cf.items()}
+    def _emit(upd):
+        # split (values, static start) — starts are trace-time constants,
+        # identical across blocks, captured for the outer update
+        for kn, (_, st) in upd.items():
+            starts[kn] = st
+        return {kn: val for kn, (val, _) in upd.items()}
 
-    def _apply_updates(cf, upd, i):
+    def _apply(news):
         return {kn: jax.lax.dynamic_update_slice(
-                    cf[kn], upd[kn][0][None], (i,) + upd[kn][1])
-                for kn in cf}
+                    cache[kn], news[kn], (0,) + starts[kn])
+                for kn in cache}
+
+    depth = jax.tree_util.tree_leaves(blocks)[0].shape[0]
+    bidx = jnp.arange(depth, dtype=jnp.int32)
 
     if mixed:
         # Mixed-format configs (`quant_utils.py:1256-1432`): the per-block
@@ -461,48 +484,86 @@ def run_blocks(
         variants = [qrt.for_variant(v) for v in range(len(qrt.mixed_act_q))]
         vidx = jnp.asarray(qrt.mixed_idx, jnp.int32)
 
-        def body(carry, xs):
-            if cache is not None:
+        def _switch(xc, bp, m, ci, bi):
+            def _branch(qv):
+                # _emit runs at branch-trace time, so the static write
+                # offsets stay Python ints (a switch output would turn
+                # them into traced arrays and leak out of the scan)
+                def f(ops):
+                    xo, upd, taps = block_forward(
+                        ops[0], ops[1], ops[2], qv, cfg, ops[3], cur,
+                        attn_bias, capture)
+                    return xo, (_emit(upd) if upd is not None else None), taps
+
+                return f
+
+            return jax.lax.switch(
+                bi, [_branch(qv) for qv in variants], (xc, bp, m, ci))
+
+        if use_carry:
+            def body(carry, xs):
                 xc, cf = carry
                 bp, m, i, bi = xs
-                ci = _slice_cache(cf, i)
-            else:
-                xc, cf = carry, None
-                (bp, m, bi), ci, i = xs, None, None
+                ci = {kn: jax.lax.dynamic_index_in_dim(
+                          v, i, 0, keepdims=False) for kn, v in cf.items()}
+                xc, news, taps = _switch(xc, bp, m, ci, bi)
+                cf = {kn: jax.lax.dynamic_update_slice(
+                          cf[kn], news[kn][None], (i,) + starts[kn])
+                      for kn in cf}
+                return (xc, cf), taps
 
-            branches = [
-                (lambda q: lambda ops: block_forward(
-                    ops[0], ops[1], ops[2], q, cfg, ops[3], cur,
-                    attn_bias, capture))(qv)
-                for qv in variants
-            ]
-            xc, upd, taps = jax.lax.switch(bi, branches, (xc, bp, m, ci))
+            if remat:
+                body = jax.checkpoint(body, prevent_cse=False)
+            (x, new_cache), taps = jax.lax.scan(
+                body, (x, cache), (blocks, mod, bidx, vidx))
+            return x, new_cache, taps
+
+        def body(xc, xs):
             if cache is not None:
-                return (xc, _apply_updates(cf, upd, i)), taps
-            return xc, taps
+                bp, m, ci, bi = xs
+            else:
+                (bp, m, bi), ci = xs, None
+            xc, news, taps = _switch(xc, bp, m, ci, bi)
+            return xc, (news, taps)
 
         if remat:
             body = jax.checkpoint(body, prevent_cse=False)
         if cache is not None:
-            (x, new_cache), taps = jax.lax.scan(
-                body, (x, cache), (blocks, mod, bidx, vidx))
-            return x, new_cache, taps
-        x, taps = jax.lax.scan(body, x, (blocks, mod, vidx))
+            x, (news, taps) = jax.lax.scan(
+                body, x, (blocks, mod, cache, vidx))
+            return x, _apply(news), taps
+        x, (_, taps) = jax.lax.scan(body, x, (blocks, mod, vidx))
         return x, None, taps
 
-    def body(carry, xs):
-        if cache is not None:
+    if use_carry:
+        def body(carry, xs):
             xc, cf = carry
             bp, m, i = xs
-            ci = _slice_cache(cf, i)
+            ci = {kn: jax.lax.dynamic_index_in_dim(v, i, 0, keepdims=False)
+                  for kn, v in cf.items()}
             xc, upd, taps = block_forward(xc, bp, m, qrt, cfg, ci, cur,
                                           attn_bias, capture)
-            return (xc, _apply_updates(cf, upd, i)), taps
-        xc = carry
+            cf = {kn: jax.lax.dynamic_update_slice(
+                      cf[kn], upd[kn][0][None], (i,) + upd[kn][1])
+                  for kn in cf}
+            return (xc, cf), taps
+
+        if remat:
+            body = jax.checkpoint(body, prevent_cse=False)
+        (x, new_cache), taps = jax.lax.scan(
+            body, (x, cache), (blocks, mod, bidx))
+        return x, new_cache, taps
+
+    def body(xc, xs):
+        if cache is not None:
+            bp, m, ci = xs
+            xc, upd, taps = block_forward(xc, bp, m, qrt, cfg, ci, cur,
+                                          attn_bias, capture)
+            return xc, (_emit(upd), taps)
         bp, m = xs
         xc, _, taps = block_forward(xc, bp, m, qrt, cfg, None, cur,
                                     attn_bias, capture)
-        return xc, taps
+        return xc, (None, taps)
 
     if remat:
         # per-block rematerialization: backward recomputes each block's
@@ -513,10 +574,9 @@ def run_blocks(
         # checkpoint-inside-scan.
         body = jax.checkpoint(body, prevent_cse=False)
     if cache is not None:
-        (x, new_cache), taps = jax.lax.scan(
-            body, (x, cache), (blocks, mod, bidx))
-        return x, new_cache, taps
-    x, taps = jax.lax.scan(body, x, (blocks, mod))
+        x, (news, taps) = jax.lax.scan(body, x, (blocks, mod, cache))
+        return x, _apply(news), taps
+    x, (_, taps) = jax.lax.scan(body, x, (blocks, mod))
     return x, None, taps
 
 

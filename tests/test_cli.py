@@ -169,10 +169,12 @@ def test_serving_bench_tiny(tmp_path):
     """serving_bench.py: the within-window serving A/B produces latency
     percentiles + throughput per recipe."""
     r = run_cli("serving_bench.py", "--preset", "tiny", "--n", 8,
-                "--max-batch", 4, "--unloaded", 2,
+                "--max-batch", 4, "--unloaded", 2, "--poisson", 12,
                 "--recipes", "bf16,w4a16")
     out = json.loads(r.stdout.strip().splitlines()[-1])
     for recipe in ("bf16", "w4a16"):
         rec = out["recipes"][recipe]
         assert rec["saturated_imgs_per_s"] > 0
         assert rec["saturated_ms"]["p99"] >= rec["saturated_ms"]["p50"]
+        assert len(rec["poisson_ms"]["samples_ms"]) == 12
+        assert rec["poisson"]["achieved_imgs_per_s"] > 0

@@ -78,13 +78,14 @@ def test_dryrun_entrypoints():
     g.dryrun_multichip(8)
 
 
-@pytest.mark.parametrize("backend", ["int8", "int8ch", "packed"])
+@pytest.mark.parametrize("backend", ["int8", "int8ch", "packed", "int8kv"])
 def test_quantized_tp_generation_matches_single_device(backend):
     """Packed/int8 + TP composition: codes and scales live tp-SHARDED on
     the mesh, GEMMs run shard_map'ed (column split mat_qkv/fc1, row split
     proj/fc2 + psum), and generation must reproduce the single-device
     images.  Width 256 so tp=2 divides the 128-tile and scale-group
-    counts."""
+    counts.  ``int8kv`` additionally routes the packed head-major KV cache
+    through kv_cache_shardings(packed=True) (heads over tp)."""
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -107,6 +108,13 @@ def test_quantized_tp_generation_matches_single_device(backend):
         qcfg = fpqvar_w4a4().replace(
             backend="int8", transform=False,
             weight_quant="per_channel", act_quant="per_token")
+    elif backend == "int8kv":
+        # the full int8kv recipe shape: per-channel int8 GEMMs + packed
+        # int8-value-code KV cache (the engine pins its tp sharding)
+        qcfg = fpqvar_w4a4().replace(
+            backend="int8", transform=False,
+            weight_quant="per_channel", act_quant="per_token",
+            kv_bit=4, kv_backend="packed")
     else:
         qcfg = fpqvar_w4a4().replace(backend=backend, transform=False)
     qp = quantize_var_params(var_p, cfg, qcfg)
