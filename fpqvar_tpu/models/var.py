@@ -37,6 +37,7 @@ TPU-first design decisions (vs the reference):
 from __future__ import annotations
 
 import math
+import os as _os
 from dataclasses import dataclass
 from typing import Any, Dict, Optional, Tuple
 
@@ -209,54 +210,52 @@ def block_forward(
     kv_update = None
     if cache is not None:
         # cache layouts: dense values [B, L, H*c] (full-lane minor dim);
-        # packed codes head-major [B, H, L*hd]; packed scales [B, H, L].
+        # packed segments {"segs": (...)} with codes head-major
+        # [B, H, l*hd] and scales [B, H, l] per scale (init_kv_cache).
         #
-        # ``kv_update`` is a dict of MINIMAL writes — leaf name -> (values,
-        # static start indices) covering only the rows this step appends
-        # (or, in kv_mode="reference", the rewritten prefix).  run_blocks
-        # applies them to the full [depth, ...] cache carried through its
-        # scan with in-place dynamic_update_slice; attention here reads
-        # prefix+new via concatenate.  (The previous design returned the
-        # FULL per-block cache through scan ys, which restacked the whole
-        # [depth, B, L, H*c] buffer every scale step — measured as the
-        # dominant non-GEMM copy cost in the fused generate's HLO.)
+        # Dense ``kv_update``: leaf name -> (values, static start indices)
+        # covering only the rows this step appends (or, in
+        # kv_mode="reference", the rewritten prefix); run_blocks applies
+        # them to the carried [depth, ...] cache with in-place
+        # dynamic_update_slice.  Packed ``kv_update``: this step's fresh
+        # segment {kc, vc, ks, vs} — run_blocks stacks it over depth and
+        # REPLACES the step's segment slot (append-only, no large-buffer
+        # updates anywhere).
         end = cur + l
         codec = qrt.kv_codec if qrt is not None else None
         if codec is not None:
             # packed KV cache: quantize-once-on-append, int8 codes +
             # per-(token, head) scales in HBM (the TPU-native replacement
             # for the reference's repeated cache re-fake-quantization)
+            segs = cache["segs"]              # valid prefix: segs [0, si)
             kc, ks = codec.encode(k)          # codes [B,l,H,c], s [B,l,H,1]
             vc, vs = codec.encode(v)
             # head-major flat codes [B, H, l*c] (see init_kv_cache: keeps
-            # the carried s8 buffers in XLA's default layout)
+            # the s8 buffers in XLA's default layout)
             kch = kc.transpose(0, 2, 1, 3).reshape(
-                b, heads, l * hd).astype(cache["kc"].dtype)
+                b, heads, l * hd).astype(jnp.int8)
             vch = vc.transpose(0, 2, 1, 3).reshape(
-                b, heads, l * hd).astype(cache["vc"].dtype)
-            ks2 = ks[..., 0].transpose(0, 2, 1).astype(cache["ks"].dtype)
-            vs2 = vs[..., 0].transpose(0, 2, 1).astype(cache["vs"].dtype)
-            kv_update = {
-                "kc": (kch, (0, 0, cur * hd)),
-                "vc": (vch, (0, 0, cur * hd)),
-                "ks": (ks2, (0, 0, cur)),     # [B, H, l]
-                "vs": (vs2, (0, 0, cur)),
-            }
-            catc = lambda buf, new: jnp.concatenate(  # noqa: E731
-                [buf[:, :, :cur * hd], new], axis=2)
-            cats = lambda buf, new: jnp.concatenate(  # noqa: E731
-                [buf[:, :, :cur], new], axis=2)
+                b, heads, l * hd).astype(jnp.int8)
+            ks2 = ks[..., 0].transpose(0, 2, 1).astype(jnp.float32)
+            vs2 = vs[..., 0].transpose(0, 2, 1).astype(jnp.float32)
+            kv_update = {"kc": kch, "vc": vch, "ks": ks2, "vs": vs2}
+
+            def catc(kn, new):
+                return jnp.concatenate([s[kn] for s in segs] + [new], axis=2)
 
             if codec.value_codes:
                 # attention DIRECTLY over the int8 value codes: per-token
                 # scales fold into the score columns (K) and the softmax
-                # weights (V) — the dequantized cache is never
-                # materialized, halving cache read traffic and removing
-                # the per-step O(prefix) decode (VERDICT weak #2)
-                kcodes = catc(cache["kc"], kch).reshape(b, heads, end, hd)
-                vcodes = catc(cache["vc"], vch).reshape(b, heads, end, hd)
-                ks_all = cats(cache["ks"], ks2)       # [B, H, end] f32
-                vs_all = cats(cache["vs"], vs2)
+                # weights (V) — the convert and the folds fuse into the
+                # dot/softmax pipeline.  (The alternative of folding the
+                # scales at the operand — materializing a dequantized
+                # bf16 [B,H,M,hd] — measured 10% SLOWER end-to-end at b8:
+                # the fused s8 operand read is already cheaper than a
+                # materialized bf16 one.)
+                kcodes = catc("kc", kch).reshape(b, heads, end, hd)
+                vcodes = catc("vc", vch).reshape(b, heads, end, hd)
+                ks_all = catc("ks", ks2)              # [B, H, end] f32
+                vs_all = catc("vs", vs2)
                 k_all = v_all = None
                 if qrt.attn_int8:
                     # both attention contractions as int8 MXU dots over the
@@ -286,6 +285,25 @@ def block_forward(
                         preferred_element_type=jnp.int32).astype(jnp.float32)
                     oup = (oup * ps.transpose(0, 2, 1, 3)).astype(
                         x.dtype).reshape(b, l, heads * hd)
+                elif _os.environ.get("FPQVAR_KV_ATTN") == "dequant2":
+                    # batched [b,h,*,c] bf16 dots over operand-space
+                    # dequantized codes: q pre-transposed head-major so
+                    # both attention contractions are standard batched
+                    # matmuls in default layouts
+                    q_h = q.transpose(0, 2, 1, 3)          # [b,h,l,c]
+                    k_hm = (kcodes.astype(jnp.float32)
+                            * ks_all[..., None]).astype(q.dtype)
+                    v_hm = (vcodes.astype(jnp.float32)
+                            * vs_all[..., None]).astype(q.dtype)
+                    scores = jnp.einsum(
+                        "bhlc,bhmc->bhlm", q_h, k_hm,
+                        preferred_element_type=jnp.float32)
+                    if attn_bias is not None:
+                        scores = scores + attn_bias
+                    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+                    oup = jnp.einsum(
+                        "bhlm,bhmc->bhlc", probs, v_hm
+                    ).transpose(0, 2, 1, 3).reshape(b, l, heads * hd)
                 else:
                     scores = jnp.einsum(
                         "blhc,bhmc->bhlm", q, kcodes.astype(q.dtype),
@@ -305,8 +323,8 @@ def block_forward(
                     return codec.decode(codes, s).transpose(
                         0, 2, 1, 3).astype(q.dtype)
 
-                k_all = _decode(catc(cache["kc"], kch), cats(cache["ks"], ks2))
-                v_all = _decode(catc(cache["vc"], vch), cats(cache["vs"], vs2))
+                k_all = _decode(catc("kc", kch), catc("ks", ks2))
+                v_all = _decode(catc("vc", vch), catc("vs", vs2))
         else:
             kv_q = qrt.kv_q if qrt is not None else None
 
@@ -432,44 +450,45 @@ def run_blocks(
 ) -> Tuple[Array, Optional[Tuple[Array, Array]], Optional[Dict[str, Array]]]:
     blocks = params["blocks"]
     mixed = qrt is not None and qrt.mixed_act_q is not None
-    # KV-cache plumbing is HYBRID, chosen by cache type (same-window A/B,
+    # KV-cache plumbing, chosen by cache type (same-window A/Bs,
     # ROUND_NOTES_r05.md):
     #
     # - DENSE bf16 caches ride the scan CARRY: each block dynamic-indexes
     #   its [B, L, H*c] slice and writes back only its newly appended rows
     #   with an in-place dynamic_update_slice at a static token offset.
-    #   Measured fastest for bf16/int8chs/w4a16 (b8: carry 15.2/16.5 vs
-    #   xs/ys 14.1/15.0 img/s).
-    # - PACKED int8-code caches ride the scan's *xs* (scan slices each
-    #   [depth, ...] leaf per block — a read-only dynamic_slice), each
-    #   block emits ONLY its new rows through ys, and ONE static-offset
-    #   dynamic_update_slice per leaf applies the stacked updates outside
-    #   the scan.  A block's step-s writes are first read at step s+1, so
-    #   the cache never needs to be a carry.  Carrying the s8 code buffers
-    #   instead forced full-buffer copies inside every scan iteration — a
-    #   measured 5x collapse of the fused int8kv generate (b8: carry 4.1
-    #   vs xs/ys 14.0 img/s; the failure BENCH_r04 shipped).
+    #   Measured fastest for bf16/int8chs/w4a16 (b8: carry 15.2/16.5 vs an
+    #   xs/ys route 14.1/15.0 img/s).
+    # - PACKED int8-code caches are PER-SCALE SEGMENTS (init_kv_cache):
+    #   the read prefix segs[0:si] rides the scan's xs (read-only
+    #   per-block slices), each block emits its new rows through ys, and
+    #   the stacked [depth, ...] result REPLACES segment si wholesale —
+    #   append-only, no large-buffer update op anywhere.  The two
+    #   single-buffer designs both failed measurably: carried s8 buffers
+    #   forced full-buffer copies every scan iteration (the 5x b8
+    #   collapse BENCH_r04 shipped), and an outside-the-scan
+    #   dynamic_update_slice was not emitted in place (~11.5 ms/step at
+    #   pn16 geometry).
     #
     # (The round-3 design — full-cache ys — restacked the whole
-    # [depth, B, L, H*c] buffer every scale step and lost to both.)
-    import os as _os
-    plumb = _os.environ.get("FPQVAR_KV_PLUMB", "auto")
-    if plumb == "auto":
-        plumb = "carry" if (cache is not None and "k" in cache) else "xs"
-    use_carry = cache is not None and plumb == "carry"
-    starts: Dict[str, tuple] = {}     # leaf -> static write offsets
+    # [depth, B, L, H*c] buffer every scale step and lost to all of the
+    # above.)
+    packed = cache is not None and "segs" in cache
+    if packed:
+        si = seg_index(cfg, cur)
+        read_segs = cache["segs"][:si]
 
-    def _emit(upd):
-        # split (values, static start) — starts are trace-time constants,
-        # identical across blocks, captured for the outer update
-        for kn, (_, st) in upd.items():
-            starts[kn] = st
-        return {kn: val for kn, (val, _) in upd.items()}
+    def _with_new_seg(newseg):
+        # pin the new segment's mesh layout under tp (heads sharded) so
+        # layouts don't depend on sharding propagation through attention
+        if qrt is not None and getattr(qrt, "mesh", None) is not None \
+                and "tp" in qrt.mesh.shape:
+            from fpqvar_tpu.parallel import kv_cache_shardings
 
-    def _apply(news):
-        return {kn: jax.lax.dynamic_update_slice(
-                    cache[kn], news[kn], (0,) + starts[kn])
-                for kn in cache}
+            sh = kv_cache_shardings(qrt.mesh, packed=True)
+            newseg = {kn: jax.lax.with_sharding_constraint(v, sh)
+                      for kn, v in newseg.items()}
+        segs = cache["segs"]
+        return {"segs": segs[:si] + (newseg,) + segs[si + 1:]}
 
     depth = jax.tree_util.tree_leaves(blocks)[0].shape[0]
     bidx = jnp.arange(depth, dtype=jnp.int32)
@@ -486,30 +505,41 @@ def run_blocks(
 
         def _switch(xc, bp, m, ci, bi):
             def _branch(qv):
-                # _emit runs at branch-trace time, so the static write
-                # offsets stay Python ints (a switch output would turn
-                # them into traced arrays and leak out of the scan)
                 def f(ops):
-                    xo, upd, taps = block_forward(
+                    return block_forward(
                         ops[0], ops[1], ops[2], qv, cfg, ops[3], cur,
                         attn_bias, capture)
-                    return xo, (_emit(upd) if upd is not None else None), taps
 
                 return f
 
             return jax.lax.switch(
                 bi, [_branch(qv) for qv in variants], (xc, bp, m, ci))
 
-        if use_carry:
+        if packed:
+            def body(xc, xs):
+                bp, m, ci, bi = xs
+                xc, upd, taps = _switch(xc, bp, m, {"segs": ci}, bi)
+                return xc, (upd, taps)
+
+            if remat:
+                body = jax.checkpoint(body, prevent_cse=False)
+            x, (news, taps) = jax.lax.scan(
+                body, x, (blocks, mod, read_segs, vidx))
+            return x, _with_new_seg(news), taps
+
+        if cache is not None:
             def body(carry, xs):
                 xc, cf = carry
                 bp, m, i, bi = xs
                 ci = {kn: jax.lax.dynamic_index_in_dim(
                           v, i, 0, keepdims=False) for kn, v in cf.items()}
-                xc, news, taps = _switch(xc, bp, m, ci, bi)
+                xc, upd, taps = _switch(xc, bp, m, ci, bi)
+                # upd: leaf -> (values, start); starts become (constant)
+                # arrays through the switch — dynamic_update_slice takes
+                # them as traced indices
                 cf = {kn: jax.lax.dynamic_update_slice(
-                          cf[kn], news[kn][None], (i,) + starts[kn])
-                      for kn in cf}
+                          cf[kn], upd[kn][0][None],
+                          (i,) + tuple(upd[kn][1])) for kn in cf}
                 return (xc, cf), taps
 
             if remat:
@@ -519,23 +549,29 @@ def run_blocks(
             return x, new_cache, taps
 
         def body(xc, xs):
-            if cache is not None:
-                bp, m, ci, bi = xs
-            else:
-                (bp, m, bi), ci = xs, None
-            xc, news, taps = _switch(xc, bp, m, ci, bi)
-            return xc, (news, taps)
+            bp, m, bi = xs
+            xc, _, taps = _switch(xc, bp, m, None, bi)
+            return xc, taps
 
         if remat:
             body = jax.checkpoint(body, prevent_cse=False)
-        if cache is not None:
-            x, (news, taps) = jax.lax.scan(
-                body, x, (blocks, mod, cache, vidx))
-            return x, _apply(news), taps
-        x, (_, taps) = jax.lax.scan(body, x, (blocks, mod, vidx))
+        x, taps = jax.lax.scan(body, x, (blocks, mod, vidx))
         return x, None, taps
 
-    if use_carry:
+    if packed:
+        def body(xc, xs):
+            bp, m, ci = xs
+            xc, upd, taps = block_forward(xc, bp, m, qrt, cfg,
+                                          {"segs": ci}, cur,
+                                          attn_bias, capture)
+            return xc, (upd, taps)
+
+        if remat:
+            body = jax.checkpoint(body, prevent_cse=False)
+        x, (news, taps) = jax.lax.scan(body, x, (blocks, mod, read_segs))
+        return x, _with_new_seg(news), taps
+
+    if cache is not None:
         def body(carry, xs):
             xc, cf = carry
             bp, m, i = xs
@@ -555,15 +591,10 @@ def run_blocks(
         return x, new_cache, taps
 
     def body(xc, xs):
-        if cache is not None:
-            bp, m, ci = xs
-            xc, upd, taps = block_forward(xc, bp, m, qrt, cfg, ci, cur,
-                                          attn_bias, capture)
-            return xc, (_emit(upd), taps)
         bp, m = xs
         xc, _, taps = block_forward(xc, bp, m, qrt, cfg, None, cur,
                                     attn_bias, capture)
-        return xc, (None, taps)
+        return xc, taps
 
     if remat:
         # per-block rematerialization: backward recomputes each block's
@@ -573,10 +604,7 @@ def run_blocks(
         # differentiates).  prevent_cse=False is the documented setting for
         # checkpoint-inside-scan.
         body = jax.checkpoint(body, prevent_cse=False)
-    if cache is not None:
-        x, (news, taps) = jax.lax.scan(body, x, (blocks, mod, cache))
-        return x, _apply(news), taps
-    x, (_, taps) = jax.lax.scan(body, x, (blocks, mod))
+    x, taps = jax.lax.scan(body, x, (blocks, mod))
     return x, None, taps
 
 
@@ -645,38 +673,60 @@ class GenStatics:
         return out
 
 
+def seg_index(cfg: VARConfig, cur: int) -> int:
+    """Scale index whose tokens start at offset ``cur`` (static)."""
+    off = 0
+    for si, pn in enumerate(cfg.patch_nums):
+        if off == cur:
+            return si
+        off += pn * pn
+    raise ValueError(f"cur={cur} is not a scale boundary of {cfg.patch_nums}")
+
+
 def init_kv_cache(cfg: VARConfig, batch: int, dtype=jnp.bfloat16,
                   kv_codec=None):
-    """Preallocated per-scale KV cache.  Dense: bf16 {"k","v"} at
-    [depth, B, L, H*c] (merged heads so the minor dim is a full 128-lane
-    multiple — a head-split [..., L, 64] layout pads 2x on TPU).  With a
-    packed codec: int8 codes HEAD-MAJOR at [depth, B, H, L*hd] + f32
-    per-(token, head) scales at [depth, B, H, L] (2-4x less HBM — the
-    design SURVEY.md §2.2 calls for; the reference re-quantizes a dense
-    fp16 cache every step).
+    """Preallocated KV cache.
 
-    Why the codes are head-major while the dense cache is token-major:
-    the attention dot consumes the codes as [B, H, M, hd] — with heads
-    leading, that view is a free reshape of the DEFAULT row-major layout,
-    so XLA layout assignment has no reason to pick anything else.  Storing
-    the codes token-major (like the dense cache) made the int8 attention
-    dots prefer two different exotic layouts across the scale steps of a
-    fused generate, and XLA inserted chains of ~9 ms full-buffer
-    transposing copies of the 626 MB s8 buffers at the step boundaries —
-    a measured 5x wall-clock collapse (fused 2.75 s vs bf16 0.52 s at
-    d30 b8; stepwise was at parity).  Head-major also keeps H shardable
-    over tp (parallel.kv_cache_shardings)."""
+    Dense: bf16 {"k","v"} at [depth, B, L, H*c] (merged heads so the minor
+    dim is a full 128-lane multiple — a head-split [..., L, 64] layout pads
+    2x on TPU).  The dense cache rides the block scan's carry and is
+    updated with in-place dynamic_update_slice writes (run_blocks).
+
+    Packed codec: {"segs": (seg_0, ..., seg_9)} — ONE SEGMENT PER SCALE,
+    each {"kc","vc"} int8 codes HEAD-MAJOR at [depth, B, H, l*hd] +
+    {"ks","vs"} f32 per-(token, head) scales at [depth, B, H, l], 2-4x
+    less HBM than dense (SURVEY.md §2.2; the reference re-quantizes a
+    dense fp16 cache every step).  Segments are APPEND-ONLY: scale step s
+    REPLACES seg_s wholesale with its freshly stacked codes (the zero
+    initializer is dead code the compiler drops) and attention reads a
+    concat of segs[0:s] — there is no dynamic_update_slice on a large
+    buffer anywhere in the packed path.  A single [depth, B, H, L*hd]
+    buffer was measured unusable both ways: carried through the scan,
+    XLA copied the full 626 MB s8 buffers every iteration (the 5x b8
+    collapse BENCH_r04 shipped); updated outside the scan, the
+    static-offset dynamic_update_slice was not emitted in place and cost
+    ~11.5 ms/step at the pn16 geometry.
+
+    Why the codes are head-major: the attention dot consumes them as
+    [B, H, M, hd] — with heads leading, that view is a free reshape of
+    the DEFAULT row-major layout, so XLA layout assignment has no reason
+    to pick anything else (token-major codes made the fused generate
+    insert ~9 ms transposing copies between steps).  Head-major also
+    keeps H shardable over tp (parallel.kv_cache_shardings)."""
     shape = (cfg.depth, batch, cfg.L, cfg.heads * cfg.head_dim)
     if kv_codec is None:
         return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
-    cshape = (cfg.depth, batch, cfg.heads, cfg.L * cfg.head_dim)
-    sshape = (cfg.depth, batch, cfg.heads, cfg.L)
-    return {
-        "kc": jnp.zeros(cshape, jnp.int8),
-        "vc": jnp.zeros(cshape, jnp.int8),
-        "ks": jnp.zeros(sshape, jnp.float32),
-        "vs": jnp.zeros(sshape, jnp.float32),
-    }
+    hd = cfg.head_dim
+    segs = []
+    for pn in cfg.patch_nums:
+        l = pn * pn
+        segs.append({
+            "kc": jnp.zeros((cfg.depth, batch, cfg.heads, l * hd), jnp.int8),
+            "vc": jnp.zeros((cfg.depth, batch, cfg.heads, l * hd), jnp.int8),
+            "ks": jnp.zeros((cfg.depth, batch, cfg.heads, l), jnp.float32),
+            "vs": jnp.zeros((cfg.depth, batch, cfg.heads, l), jnp.float32),
+        })
+    return {"segs": tuple(segs)}
 
 
 def scale_step(

@@ -242,6 +242,11 @@ def main():
     fp4 = fpqvar_w4a4()
     stages = {
         "bf16": (QuantConfig(), None),
+        # independent-seed bf16 leg: its FID vs the bf16 leg's eval set
+        # measures the GENERATION-level floor (sampling + set-size noise)
+        # that the top recipe rungs must beat to claim separation — a
+        # stricter control than the same-set split floor
+        "bf16_rep": (QuantConfig(), None),
         # naive: single-grid fc2, no rotation, no GALT (the paper's "FP4
         # baseline" row)
         "fp4_naive": (fp4.replace(rotate=False, block_rotate=False,
@@ -306,15 +311,18 @@ def main():
 
     eval_labels = np.arange(args.eval_n, dtype=np.int32) % args.classes
     results = {}
+    stage_feats = {}
     for name, (qcfg, g) in stages.items():
         qp = quantize_var_params(var_p, cfg, qcfg, galt=g)
         gen = VARGenerator(cfg, qcfg, GenerateConfig())
         outs = []
+        # *_rep stages draw an independent key stream (generation-floor
+        # control legs)
+        base_key = jax.random.PRNGKey(6 if name.endswith("_rep") else 5)
         for i in range(0, args.eval_n, 64):
             lab = jnp.asarray(eval_labels[i:i + 64])
             outs.append(np.asarray(gen.generate(
-                qp, vae_p, lab, jax.random.fold_in(jax.random.PRNGKey(5),
-                                                   i))))
+                qp, vae_p, lab, jax.random.fold_in(base_key, i))))
         gen_imgs = np.concatenate(outs)
         feats, probs = features(gen_imgs)
         fid = M.FIDStatistics.from_features(
@@ -322,8 +330,21 @@ def main():
         is_score = M.inception_score(probs, split_size=args.eval_n // 2)
         results[name] = {"fid": round(float(fid), 4),
                          "is": round(float(is_score), 4)}
+        stage_feats[name] = feats if name.startswith("bf16") else None
         print(f"[{time.time()-t0:6.1f}s] {name:10s} FID {fid:8.3f}  "
               f"IS {is_score:6.3f}", flush=True)
+
+    fid_gen_floor = None
+    if stage_feats.get("bf16") is not None \
+            and stage_feats.get("bf16_rep") is not None:
+        # cross-FID between two independent bf16 generations: the
+        # generation-level measurement floor for this eval-set size
+        fid_gen_floor = float(M.FIDStatistics.from_features(
+            stage_feats["bf16"].astype(np.float64)).frechet_distance(
+            M.FIDStatistics.from_features(
+                stage_feats["bf16_rep"].astype(np.float64))))
+        print(f"[{time.time()-t0:6.1f}s] bf16-vs-bf16_rep cross-FID "
+              f"(generation floor) {fid_gen_floor:.4f}", flush=True)
 
     out = {
         "config": {"depth": args.depth, "width": args.width,
@@ -336,6 +357,8 @@ def main():
         "note": "random-weight Inception features (relative metric); "
                 "reference set = VQVAE reconstructions of held-out data",
         "fid_noise_floor_same_set_split": round(float(fid_floor), 4),
+        "fid_generation_floor_bf16_cross": (
+            round(fid_gen_floor, 4) if fid_gen_floor is not None else None),
         "fid_noise_control_uniform_images": round(float(fid_noise), 4),
         "results": results,
         "wall_s": round(time.time() - t0, 1),

@@ -405,9 +405,13 @@ def test_d36_512_full_recipe_shapes():
     nxt, cache_out, f_hat_out, _ = out
     assert nxt.shape == (2 * b, cfg.patch_nums[5] ** 2, cfg.width)
     assert f_hat_out.shape == (b, cfg.vae.z_channels, 32, 32)
-    assert cache_out["kc"].shape == (
-        cfg.depth, 2 * b, cfg.heads, cfg.L * cfg.head_dim)
-    assert cache_out["ks"].shape == (cfg.depth, 2 * b, cfg.heads, cfg.L)
+    # packed cache: one append-only segment per scale (models/var.py
+    # init_kv_cache)
+    assert len(cache_out["segs"]) == cfg.num_scales
+    for pn, seg in zip(cfg.patch_nums, cache_out["segs"]):
+        assert seg["kc"].shape == (
+            cfg.depth, 2 * b, cfg.heads, pn * pn * cfg.head_dim)
+        assert seg["ks"].shape == (cfg.depth, 2 * b, cfg.heads, pn * pn)
 
 
 def test_w8a8_fp8_config(tiny_model):
