@@ -91,6 +91,13 @@ def _l2norm(x: Array) -> Array:
 MAX_SCALE_MUL = math.log(100.0)
 
 
+def _scan_unroll() -> int:
+    """Block-scan unroll factor (FPQVAR_SCAN_UNROLL, default 1).  A
+    latency knob for the batch-1 regime: unrolling lets XLA overlap
+    consecutive blocks' small ops at the cost of a bigger program."""
+    return int(_os.environ.get("FPQVAR_SCAN_UNROLL", "1"))
+
+
 # ---------------------------------------------------------------------------
 # Block forward
 # ---------------------------------------------------------------------------
@@ -285,26 +292,16 @@ def block_forward(
                         preferred_element_type=jnp.int32).astype(jnp.float32)
                     oup = (oup * ps.transpose(0, 2, 1, 3)).astype(
                         x.dtype).reshape(b, l, heads * hd)
-                elif _os.environ.get("FPQVAR_KV_ATTN") == "dequant2":
-                    # batched [b,h,*,c] bf16 dots over operand-space
-                    # dequantized codes: q pre-transposed head-major so
-                    # both attention contractions are standard batched
-                    # matmuls in default layouts
-                    q_h = q.transpose(0, 2, 1, 3)          # [b,h,l,c]
-                    k_hm = (kcodes.astype(jnp.float32)
-                            * ks_all[..., None]).astype(q.dtype)
-                    v_hm = (vcodes.astype(jnp.float32)
-                            * vs_all[..., None]).astype(q.dtype)
-                    scores = jnp.einsum(
-                        "bhlc,bhmc->bhlm", q_h, k_hm,
-                        preferred_element_type=jnp.float32)
-                    if attn_bias is not None:
-                        scores = scores + attn_bias
-                    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-                    oup = jnp.einsum(
-                        "bhlm,bhmc->bhlc", probs, v_hm
-                    ).transpose(0, 2, 1, 3).reshape(b, l, heads * hd)
                 else:
+                    # scales fold into the score columns / softmax
+                    # weights; the s8->bf16 converts fuse into the dot
+                    # operand reads.  Three alternatives all measured
+                    # SLOWER at d30 b8 (ROUND_NOTES_r05.md): operand-space
+                    # dequant (materializes bf16 [B,H,M,hd]: 0.84x),
+                    # batched-layout dequant (0.84x), and Pallas flash
+                    # attention over dequantized tiles (0.75x — kernel
+                    # overheads at l<=256/M<=680/hd=64 outweigh never
+                    # materializing the score tensor)
                     scores = jnp.einsum(
                         "blhc,bhmc->bhlm", q, kcodes.astype(q.dtype),
                         preferred_element_type=jnp.float32)
@@ -568,7 +565,8 @@ def run_blocks(
 
         if remat:
             body = jax.checkpoint(body, prevent_cse=False)
-        x, (news, taps) = jax.lax.scan(body, x, (blocks, mod, read_segs))
+        x, (news, taps) = jax.lax.scan(body, x, (blocks, mod, read_segs),
+                                       unroll=_scan_unroll())
         return x, _with_new_seg(news), taps
 
     if cache is not None:
@@ -587,7 +585,7 @@ def run_blocks(
         if remat:
             body = jax.checkpoint(body, prevent_cse=False)
         (x, new_cache), taps = jax.lax.scan(
-            body, (x, cache), (blocks, mod, bidx))
+            body, (x, cache), (blocks, mod, bidx), unroll=_scan_unroll())
         return x, new_cache, taps
 
     def body(xc, xs):
