@@ -325,19 +325,22 @@ def main():
     if args.modes:
         modes = args.modes.split(",")
     elif args.preset == "d36":
-        modes = ["bf16", "int8kv", "int8att", "w4a16"]
+        # int8chs = the d36 speed mode; int8kv = the capacity mode.
+        # int8att was demoted from the default suite after measuring
+        # below int8kv at both presets (d30 b8 1.00x, d36 b2 0.96x of
+        # int8kv — ROUND_NOTES_r05.md); still available via --modes.
+        modes = ["bf16", "int8chs", "int8kv", "w4a16"]
     elif args.full:
         modes = ["bf16", "fake", "int8", "int8ch", "int8chs", "packed",
                  "w4a16"]
     else:
         # driver-window default BATCH-8 suite (runs AFTER the batch-1
         # headline suite, budget permitting): bf16 bracket + int8chs (the
-        # single-grid act-quant recipe) + int8kv (dual-grid fc2 + packed
-        # int8 KV — the full-quality recipe, and the fastest batch-8 mode:
-        # the int8-code cache halves attention reads at the late scales;
-        # measured 1.078x vs int8chs 1.048x, ROUND_NOTES_r04.md).  w4a16
-        # lives in the batch-1 suite where it leads.  `--full` for the
-        # research suite.
+        # single-grid act-quant recipe — the batch-8 throughput mode,
+        # 1.076-1.086x) + int8kv (dual-grid fc2 + packed int8 KV — the
+        # CAPACITY mode, 0.93-0.94x at b8 but runs b32 where dense bf16
+        # OOMs; ROUND_NOTES_r05.md).  w4a16 lives in the batch-1 suite
+        # where it leads.  `--full` for the research suite.
         modes = ["bf16", "int8chs", "int8kv"]
 
     # The remote-TPU relay's throughput drifts up to 3-4x over minutes, and

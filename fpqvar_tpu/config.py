@@ -306,8 +306,11 @@ def bench_recipes() -> dict:
       packed    nibble-packed weights, Pallas fused dequant+matmul
       w4a16     weights-only int8 codes, bf16 acts (batch-1 serving mode)
       w4a16p    weights-only nibble-packed codes (capacity probe)
-      int8kv    int8ch + packed int8 KV cache (fastest batch>=8 mode)
-      int8att   int8kv + int8 MXU attention contractions
+      int8kv    int8ch + packed int8 KV cache (the CAPACITY mode: ~2x
+                less cache HBM, runs d30 b32 where dense bf16 OOMs;
+                0.93-0.94x bf16 at b8 — ROUND_NOTES_r05.md)
+      int8att   int8kv + int8 MXU attention contractions (measured
+                neutral vs int8kv; opt-in)
     """
     base = fpqvar_w4a4()
     return {
