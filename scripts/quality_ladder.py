@@ -321,8 +321,16 @@ def main():
         base_key = jax.random.PRNGKey(6 if name.endswith("_rep") else 5)
         for i in range(0, args.eval_n, 64):
             lab = jnp.asarray(eval_labels[i:i + 64])
-            outs.append(np.asarray(gen.generate(
-                qp, vae_p, lab, jax.random.fold_in(base_key, i))))
+            for attempt in range(3):
+                try:
+                    outs.append(np.asarray(gen.generate(
+                        qp, vae_p, lab, jax.random.fold_in(base_key, i))))
+                    break
+                except Exception as e:        # transient relay failures
+                    if attempt == 2:
+                        raise
+                    print(f"[retry] {name} batch {i}: {e}", flush=True)
+                    time.sleep(20)
         gen_imgs = np.concatenate(outs)
         feats, probs = features(gen_imgs)
         fid = M.FIDStatistics.from_features(
