@@ -298,7 +298,10 @@ def bench_recipes() -> dict:
     Semantics (measured ratios in ROUND_NOTES_r04.md):
       bf16      unquantized baseline
       fake      exact fp4 W4A4 values, dense bf16 GEMMs (the parity path)
-      int8      grouped-128 int8 codes both sides (Pallas kernel)
+      int8      grouped-128 int8 codes both sides (Pallas kernel) —
+                QUALITY path (per-group scales free), not a speed path:
+                in-model b8 0.51-0.59x bf16 across both the 2D and the
+                N-D-aware kernel routings (ROUND_NOTES_r05.md)
       int8ch    per-channel/per-token scales -> full-K int8 MXU dots,
                 dual-grid fc2 (the paper's full recipe on the int8 backend)
       int8chs   int8ch with single-grid fc2 (every GEMM 1x count)

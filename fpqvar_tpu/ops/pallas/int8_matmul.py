@@ -68,6 +68,107 @@ def _kernel(ac_ref, as_ref, wc_ref, ws_ref, out_ref, *, group, bkg,
     out_ref[:] += acc
 
 
+def _kernel3(ac_ref, as_ref, wc_ref, ws_ref, out_ref, acc_ref, *, group,
+             bkg, nk, int8_dot):
+    """Batch-aware variant of ``_kernel``: blocks are [1, bm, *] slices of
+    the UN-RESHAPED [B, T, K] activations (the leading batch dim rides the
+    grid), accumulation lives in f32 VMEM scratch, and the single
+    out-dtype cast happens on the registered tile before the one HBM
+    write — no [M, K] reshape, no f32 [M, N] epilogue buffer."""
+    kk = pl.program_id(3)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    as_all = as_ref[0]                               # [bm, G_total]
+    ws_all = ws_ref[:]                               # [G_total, bn]
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, as_all.shape, 1)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, ws_all.shape, 0)
+
+    acc = jnp.zeros(acc_ref.shape, jnp.float32)
+    for gi in range(bkg):
+        a = ac_ref[0, :, group * gi: group * (gi + 1)]
+        w = wc_ref[group * gi: group * (gi + 1), :]
+        if int8_dot:
+            part = jax.lax.dot_general(
+                a, w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+        else:
+            part = jax.lax.dot_general(
+                a.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        g_idx = kk * bkg + gi
+        sa = jnp.sum(jnp.where(lane_ids == g_idx, as_all, 0.0),
+                     axis=1, keepdims=True)
+        sw = jnp.sum(jnp.where(row_ids == g_idx, ws_all, 0.0),
+                     axis=0, keepdims=True)
+        acc = acc + part * sa * sw
+    acc_ref[:] += acc
+
+    @pl.when(kk == nk - 1)
+    def _():
+        out_ref[0] = acc_ref[:].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "group_size", "n", "k_dim", "int8_dot", "out_dtype", "interpret"))
+def _int8_matmul_3d(
+    acodes, ascales, wcodes, wscales, *, group_size, n, k_dim,
+    int8_dot=True, out_dtype=jnp.bfloat16, interpret=False,
+):
+    """acodes [B, T, K] int8, ascales [B, T, G] f32, wcodes [K, N] int8,
+    wscales [G, N] f32 -> [B, T, N] out_dtype.
+
+    The N-D-aware wrapper (VERDICT r4 #8): the batch dim rides the grid's
+    leading axis and the flattening happens in the BlockSpec index maps,
+    not in HLO — the 2D reshape boundary (and the f32 output epilogue)
+    that taxed the in-model grouped path disappears from the program."""
+    bsz, t = acodes.shape[0], acodes.shape[1]
+    g_total = k_dim // group_size
+    bn = 128 * _pick(n, 128, (4, 3, 2, 1))
+    bkg = _pick(k_dim, group_size, (5, 4, 3, 2, 1))
+    bk = group_size * bkg
+    bm = 512 if t >= 512 else (256 if t >= 256 else
+                               (128 if t >= 128 else 32))
+    t_pad = _round_up(max(t, 32), bm) if t > bm else _round_up(max(t, 32), 32)
+    bm_eff = min(bm, t_pad)
+    if t_pad != t:
+        acodes = jnp.pad(acodes, ((0, 0), (0, t_pad - t), (0, 0)))
+        ascales = jnp.pad(ascales, ((0, 0), (0, t_pad - t), (0, 0)))
+    nk = k_dim // bk
+    out = pl.pallas_call(
+        functools.partial(_kernel3, group=group_size, bkg=bkg, nk=nk,
+                          int8_dot=int8_dot),
+        grid=(bsz, t_pad // bm_eff, n // bn, nk),
+        in_specs=[
+            pl.BlockSpec((1, bm_eff, bk), lambda b, i, j, kk: (b, i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bm_eff, g_total),
+                         lambda b, i, j, kk: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda b, i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_total, bn), lambda b, i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bm_eff, bn),
+                               lambda b, i, j, kk: (b, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, t_pad, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm_eff, bn), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * t_pad * n * k_dim,
+            bytes_accessed=bsz * t_pad * k_dim + n * k_dim
+            + bsz * t_pad * n * 2,
+            transcendentals=0,
+        ),
+    )(acodes, ascales, wcodes, wscales)
+    return out[:, :t] if t_pad != t else out
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -582,6 +683,11 @@ def int8_linear(x, pw: P.IntPack, act_fmt: str = None, *,
         # large-scale layout-copy regression (ROUND_NOTES_r04.md)
         ac, asc = P.quant_int_codes(x, fmt, k_dim)
         return _channel_dot(ac, asc, pw.codes, pw.scales).astype(x.dtype)
+    # N-D-aware routing through _int8_matmul_3d was attempted and measured
+    # SLOWER in-model (d30 b8: 0.514x bf16 vs this 2D route's 0.59x —
+    # ROUND_NOTES_r05.md): for the grouped kernel the 2D reshape boundary
+    # is not the binding cost, the kernel itself is.  Grouped remains the
+    # QUALITY/CAPACITY path; the speed path is the per-channel XLA chain.
     x2 = x.reshape(-1, k_dim)
     ac, asc = P.quant_int_codes(x2, fmt, pw.group_size)
     out = _call(ac, asc, pw.codes, pw.scales, group_size=pw.group_size,

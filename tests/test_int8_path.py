@@ -81,6 +81,28 @@ def test_kernel_matches_jnp_reference_interpret():
                                rtol=1e-6, atol=1e-5)
 
 
+def test_kernel3_matches_jnp_reference_interpret():
+    """Batch-gridded N-D kernel (interpret mode) vs the jnp mirror — both
+    unpadded and padded T, f32 out for exact comparison."""
+    from fpqvar_tpu.ops.pallas.int8_matmul import _int8_matmul_3d
+
+    key = jax.random.PRNGKey(7)
+    for t in (64, 33):        # 33 exercises the T padding path
+        bsz, k_dim, n = 3, 384, 256
+        x = jax.random.normal(key, (bsz, t, k_dim))
+        w = jax.random.normal(jax.random.fold_in(key, 1), (n, k_dim))
+        ac, asc = P.quant_int_codes(x, "fp_e2")
+        pw = P.pack_int_codes(w, "fp_e2")
+        ref = _jnp_reference(ac.reshape(-1, k_dim), asc.reshape(-1, 3),
+                             pw.codes, pw.scales, 128)
+        out = _int8_matmul_3d(ac, asc, pw.codes, pw.scales,
+                              group_size=128, n=n, k_dim=k_dim,
+                              out_dtype=jnp.float32, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out).reshape(-1, n), np.asarray(ref),
+            rtol=1e-6, atol=1e-5)
+
+
 def test_int8_linear_matches_fake_path():
     """int8_linear == fake-quant activation @ fake-quant weight (f32)."""
     key = jax.random.PRNGKey(5)
